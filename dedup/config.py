@@ -1,0 +1,93 @@
+"""Pinned similarity semantics — the "same shingle/signature config" contract.
+
+BASELINE.json:14 requires matching cluster assignments "at the same
+shingle/signature configuration"; this module IS that configuration.
+Every constant here is used identically by the Spark pipeline and by the
+brute-force O(n²) oracle in tests/oracle.py, so the two are comparable
+bit-for-bit. Defaults follow the standard MinHash-LSH literature
+(Broder '97 shingling; Leskovec-Rajaraman-Ullman banding analysis).
+
+Permutation family (pinned, deviation from the generic ``(a*x+b) mod p``
+textbook form, recorded here deliberately): permutation ``j`` of a 64-bit
+shingle hash ``x`` is ``mix64(x + c_j)`` over uint64 wraparound
+arithmetic, where ``c_j`` are odd constants drawn from a seeded RNG and
+``mix64`` is the splitmix64 finalizer (Steele/Lea/Flood 2014, public
+domain). ``mix64`` is a bijection on uint64 and addition is a bijection,
+so each ``j`` is a true permutation of the 64-bit space — the min-wise
+property holds exactly as for the mod-p family, but the whole thing is
+exact in numpy uint64 (no 128-bit mod-p arithmetic needed), which keeps
+the vectorized pandas/Arrow UDFs fast and the Python oracle trivially
+bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling ---
+    shingle_mode: str = "char"  # char k-grams over normalized text
+    k: int = 5                  # shingle width (chars)
+    # shingle hash fn: Spark SQL xxhash64 (XXH64 over utf8 bytes, seed=42,
+    # Spark's default seed). The oracle recomputes Jaccard over raw
+    # shingle *strings*, which is identical modulo 64-bit hash collisions.
+
+    # --- MinHash ---
+    num_perm: int = 128
+    perm_seed: int = 42         # seeds the c_j constants of the permutation family
+    bands: int = 16
+    rows_per_band: int = 8      # bands * rows_per_band == num_perm
+    # s-curve threshold ≈ (1/bands)^(1/rows) ≈ 0.707 for 16×8
+
+    # --- verification ---
+    jaccard_thresh: float = 0.8   # verified-edge threshold on EXACT shingle Jaccard
+
+    # --- SimHash secondary detector ---
+    simhash_bits: int = 64
+    hamming_thresh: int = 3
+
+    # --- suffix-array substring containment detector ---
+    substr_min_len: int = 50     # min exact char overlap to emit a containment edge
+
+    # --- hygiene ---
+    min_text_len: int = 10       # docs shorter than this (normalized chars) are passed through as singletons
+    bucket_cap: int = 0          # 0 = off; else LSH buckets larger than this are capped (recall-accounted, logged)
+    salt_hot_thresh: int = 0     # 0 = off; else buckets larger than this get salted self-join (skew.py)
+    n_salt: int = 8              # salt fanout for hot buckets
+    max_cc_iter: int = 25        # connected-components iteration cap
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perm "
+                f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of the similarity-relevant knobs; keys resume snapshots."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+#: default preset — s-curve threshold ≈ 0.707; P(candidate | J=0.8) ≈ 0.964
+DEFAULT_CONFIG = DedupConfig()
+
+#: high-recall preset — threshold ≈ (1/32)^(1/4) ≈ 0.42; P(cand | J=0.8) ≈ 0.9998.
+#: Used for the recall ≥ 0.99 gate (BASELINE.json:2). Both presets ship.
+HIGH_RECALL_CONFIG = DedupConfig(bands=32, rows_per_band=4)
+
+#: normalization is pinned here as data, not prose: the exact regex used by
+#: BOTH the Spark expression (Java regex) and the Python oracle. Restricted
+#: to the ASCII whitespace class so Java \s vs Python \s unicode differences
+#: cannot desynchronize the two.
+WHITESPACE_RE = "[ \\t\\n\\r\\f\\x0B]+"
+
+#: extract_text version tag (BASELINE.json:15 byte-identical invariant)
+EXTRACTOR_VERSION = "xt-1"

@@ -1,0 +1,171 @@
+"""Hash primitives shared by the Spark pipeline and the Python oracle.
+
+Two families live here:
+
+1. ``xxh64`` — a pure-Python XXH64 matching Spark's ``xxhash64`` SQL
+   function bit-for-bit (Spark hashes a string's UTF-8 bytes with XXH64,
+   default seed 42). Parity is asserted by tests/test_hashing.py against
+   values produced by Spark itself; everything downstream (doc ids,
+   oracle replays) depends on that test staying green.
+
+2. splitmix64-based MinHash permutations and the SimHash bit-vote — the
+   numpy cores called from the vectorized pandas UDFs in signatures.py
+   AND from the brute-force oracle, so pipeline/oracle agreement is by
+   construction (same function, same constants).
+
+All numpy arithmetic is uint64 with wraparound (exact, no float).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+# ---------------------------------------------------------------------------
+# XXH64 (pure python, standard algorithm; Spark's XXH64.java is standard)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+SPARK_XXHASH64_SEED = 42  # Spark's default seed for the xxhash64 SQL fn
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _MASK
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & _MASK
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return ((acc * _P1) + _P4) & _MASK
+
+
+def xxh64(data: bytes, seed: int = SPARK_XXHASH64_SEED) -> int:
+    """Standard XXH64 over ``data``; returns unsigned 64-bit int."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed & _MASK
+        v4 = (seed - _P1) & _MASK
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = ((_rotl(h, 27) * _P1) + _P4) & _MASK
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _MASK
+        h = ((_rotl(h, 23) * _P2) + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def xxh64_str(s: str, seed: int = SPARK_XXHASH64_SEED) -> int:
+    """Signed 64-bit result matching Spark's ``xxhash64(string_col)``."""
+    u = xxh64(s.encode("utf-8"), seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def xxh64_long(v: int, seed: int = SPARK_XXHASH64_SEED) -> int:
+    """Signed 64-bit result matching Spark's ``xxhash64(long_col)``
+    (Spark hashes a LongType value as its 8 little-endian bytes via
+    the XXH64 hashLong fast path — equivalent to hashing the 8 bytes)."""
+    u = xxh64((v & _MASK).to_bytes(8, "little"), seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 mixer + MinHash permutation family (pinned in config.py)
+# ---------------------------------------------------------------------------
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a bijection on uint64, vectorized."""
+    z = z.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= _MIX1
+    z ^= z >> np.uint64(27)
+    z *= _MIX2
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def perm_consts(num_perm: int, seed: int) -> np.ndarray:
+    """The c_j additive constants (odd uint64) of the permutation family."""
+    rng = np.random.default_rng(seed)
+    c = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
+    return c * np.uint64(2) + np.uint64(1)
+
+
+_SHINGLE_CHUNK = 8192  # bound perms × shingles working set per doc
+
+
+def minhash_from_hashes(hashes: np.ndarray, consts: np.ndarray) -> np.ndarray:
+    """MinHash signature: sig[j] = min_x mix64(x + c_j), x over shingle hashes.
+
+    ``hashes``: 1-D array viewable as uint64 (int64 from Spark is fine).
+    Returns uint64[num_perm]. Empty input → all-ones sentinel (max uint64),
+    so empty docs never collide with real signatures in a band.
+    """
+    h = np.asarray(hashes).astype(np.int64, copy=False).view(np.uint64)
+    num_perm = len(consts)
+    if h.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    out = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    for s in range(0, h.size, _SHINGLE_CHUNK):
+        chunk = h[s : s + _SHINGLE_CHUNK]
+        # (num_perm, chunk) wraparound add then mix; min over shingles
+        z = mix64(chunk[None, :] + consts[:, None])
+        np.minimum(out, z.min(axis=1), out=out)
+    return out
+
+
+def simhash_from_hashes(hashes: np.ndarray) -> int:
+    """64-bit SimHash: bit b = 1 iff strictly more shingle hashes have bit
+    b set than clear. Returns signed int64 (Spark LongType). Empty → 0."""
+    h = np.asarray(hashes).astype(np.int64, copy=False).view(np.uint64)
+    if h.size == 0:
+        return 0
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - np.int64(h.size)
+    word = 0
+    for b in range(64):
+        if votes[b] > 0:
+            word |= 1 << b
+    return word - (1 << 64) if word >= (1 << 63) else word

@@ -1,0 +1,100 @@
+"""extract_text determinism + golden digests (BASELINE.json:15) and
+normalize parity Spark↔Python."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+
+from pyspark.sql import functions as F
+
+from dedup.text import extract_text, extract_text_udf, normalize_text, normalize_text_py
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "extract_text_digests.json"
+
+CASES = {
+    "basic": b"<html><body><p>hello world</p></body></html>",
+    "title": b"<html><head><title>T1 t2</title></head><body>body text</body></html>",
+    "script": b"<html><script>var x=1;</script><body>kept</body></html>",
+    "style": b"<html><style>p{color:red}</style><body>kept2</body></html>",
+    "noscript": b"<html><noscript>skip</noscript><body>kept3</body></html>",
+    "comment": b"<html><!-- secret --><body>visible</body></html>",
+    "entities": b"<p>a &amp; b &lt;c&gt; &quot;d&quot; &#65;</p>",
+    "nested": b"<div><span>a</span><span>b</span></div>",
+    "unicode_nfc": "<p>café café</p>".encode(),  # NFC folds both to café
+    "ws": b"<p>a\t\tb\n\nc   d</p>",
+    "empty": b"",
+    "no_tags": b"plain text only",
+    "broken": b"<p>unclosed <b>tag",
+    "binary_junk": b"<p>ok</p>\xff\xfe\x00",
+    "case_script": b"<SCRIPT>x</SCRIPT><p>vis</p>",
+    "multiline_script": b"<script>\nline1\nline2\n</script>after",
+}
+
+
+def _digests() -> dict[str, str]:
+    return {
+        k: hashlib.sha256(extract_text(v).encode("utf-8")).hexdigest()
+        for k, v in CASES.items()
+    }
+
+
+def test_extract_text_semantics():
+    assert extract_text(CASES["basic"]) == "hello world"
+    assert extract_text(CASES["script"]) == "kept"
+    assert extract_text(CASES["style"]) == "kept2"
+    assert extract_text(CASES["noscript"]) == "kept3"
+    assert extract_text(CASES["comment"]) == "visible"
+    assert extract_text(CASES["entities"]) == 'a & b <c> "d" A'
+    assert extract_text(CASES["nested"]) == "a b"
+    assert extract_text(CASES["unicode_nfc"]) == "café café"
+    assert extract_text(CASES["ws"]) == "a b c d"
+    assert extract_text(CASES["empty"]) == ""
+    assert extract_text(None) == ""
+    assert extract_text(CASES["case_script"]) == "vis"
+    assert extract_text(CASES["multiline_script"]) == "after"
+
+
+def test_extract_text_golden_digests():
+    """Byte-identical invariant: digests are pinned on first run and any
+    later change to the extractor must bump EXTRACTOR_VERSION + regen."""
+    got = _digests()
+    if not GOLDEN.exists():
+        GOLDEN.parent.mkdir(parents=True, exist_ok=True)
+        GOLDEN.write_text(json.dumps(got, indent=1, sort_keys=True))
+    want = json.loads(GOLDEN.read_text())
+    assert got == want
+
+
+def test_extract_text_udf_matches_pure_fn(spark):
+    rows = [(k, v) for k, v in CASES.items()]
+    df = spark.createDataFrame(rows, ["k", "html"])
+    out = {r["k"]: r["t"] for r in df.select("k", extract_text_udf("html").alias("t")).collect()}
+    for k, v in CASES.items():
+        assert out[k] == extract_text(v)
+
+
+def test_normalize_parity(spark):
+    samples = [
+        "Hello   World",
+        "  MIXED case\tTabs\nNewLines  ",
+        "already normal",
+        "",
+        "ÀÉÎ unicode Ωmega",
+        "a\x0bb\fc",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = {r["t"]: r["n"] for r in df.select("t", normalize_text("t").alias("n")).collect()}
+    for s in samples:
+        assert got[s] == normalize_text_py(s), f"normalize parity failed for {s!r}"
+
+
+def test_extract_text_partition_independent(spark, tiny_pages):
+    """Same extraction bytes at different partitionings (BASELINE.json:15)."""
+    pages, _ = tiny_pages
+    sample = pages.head(200)
+    df = spark.createDataFrame(sample[["url", "html"]])
+    one = df.coalesce(1).select("url", extract_text_udf("html").alias("t")).collect()
+    many = df.repartition(7).select("url", extract_text_udf("html").alias("t")).collect()
+    assert {(r["url"], r["t"]) for r in one} == {(r["url"], r["t"]) for r in many}
