@@ -1,0 +1,88 @@
+"""Connected components over edge frames via iterative DataFrame
+self-joins (SURVEY.md §2 I1/I2) — the distributed replacement for the
+reference's in-memory transitive merge (BASELINE.json:6 "union-find
+over edge frames").
+
+Algorithm: min-label propagation with pointer-doubling shortcuts.
+Each iteration:
+  1. neighbor-min:  comp'(v) = min(comp(v), min over neighbors u of comp(u))
+  2. shortcut:      comp''(v) = comp(comp'(v))   (path halving)
+Pointer doubling makes convergence O(log(longest path)) iterations
+instead of O(path length) — at web scale cluster diameters are small,
+but chain-shaped clusters (A≈B≈C≈…) exist by construction.
+
+Scale discipline (SURVEY §4.2): every iteration ends in
+``localCheckpoint(eager=True)`` to truncate lineage — the classic
+failure of iterative DataFrame algorithms is exponential plan blowup.
+Convergence is detected by counting changed labels (an aggregate, not
+a collect of data rows). Labels only ever decrease, so the final
+comp = min doc_id of the component — the stable, deterministic
+cluster labeling rule (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, verbose: bool = False
+) -> DataFrame:
+    """edges(src, dst) → (doc_id, cluster_id) for every vertex that
+    appears in an edge. cluster_id = min doc_id in the component."""
+    e = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(max_iter):
+        # 1. neighbor-min pass
+        nbr = (
+            e.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # 2. pointer-doubling shortcut: comp := label(comp)
+        parent = stepped.select(
+            F.col("id").alias("comp"), F.col("comp").alias("parent_comp")
+        )
+        new_labels = (
+            stepped.join(parent, "comp", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("parent_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if verbose:
+            print(f"[cc] iter={it} changed={changed}")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def assign_clusters(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """Attach cluster_id to ALL docs; vertices without edges are
+    singleton clusters of themselves (SURVEY §2 I2)."""
+    return docs.join(components, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )

@@ -1,0 +1,97 @@
+"""Ingest stage: pages → docs (SURVEY.md §2 A1/B1-B5/D7/F1).
+
+Scale notes (the 100 TB design, SURVEY §4): everything here is pure
+Column expressions — whole-stage codegen, no Python. ``doc_id =
+xxhash64(url)`` is partition-independent (never
+``monotonically_increasing_id``), so ids are stable across runs,
+parallelism levels, and resumes. Exact-duplicate groups are collapsed
+to one representative BEFORE signature computation: at web scale a
+large fraction of pages are byte-identical after normalization, and
+signing only representatives removes that entire fraction from the
+(far more expensive) MinHash + LSH stages; the group members rejoin
+via 'exact' edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+from dedup.text import extract_text_udf, normalize_text
+
+
+def asof_latest(pages: DataFrame) -> DataFrame:
+    """One row per url: the latest capture by warc_ts (ties → the row is
+    unique by construction of row_number). Spark has no native as-of
+    join; ranking window is the idiom (SURVEY §2 D7)."""
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def to_docs(pages: DataFrame, cfg: DedupConfig, recompute_text: bool = False) -> DataFrame:
+    """pages → docs frame (schema.DOCS). When ``recompute_text`` the text
+    column is re-derived from html via the versioned extractor (the
+    BASELINE.json:15 invariant path); otherwise the provided text column
+    is trusted and the extractor only fills nulls."""
+    latest = asof_latest(pages)
+    if recompute_text:
+        text = extract_text_udf(F.col("html"))
+    else:
+        text = F.when(
+            F.col("text").isNull() & F.col("html").isNotNull(),
+            extract_text_udf(F.col("html")),
+        ).otherwise(F.col("text"))
+    return (
+        latest.select("url", "warc_ts", "lang", text.alias("text"))
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("norm_text", normalize_text(F.col("text")))
+        .withColumn("n_chars", F.length("norm_text").cast("long"))
+        .withColumn("content_sha", F.sha2(F.col("norm_text"), 256))
+        .select("url", "doc_id", "warc_ts", "text", "norm_text", "lang", "n_chars", "content_sha")
+    )
+
+
+def exact_groups(docs: DataFrame) -> DataFrame:
+    """content_sha → (canon_id = min doc_id, group size). Hash aggregate
+    with automatic partial (map-side) combine; no collect anywhere."""
+    return docs.groupBy("content_sha").agg(
+        F.min("doc_id").alias("canon_id"), F.count("*").alias("group_size")
+    )
+
+
+def exact_edges(docs: DataFrame) -> DataFrame:
+    """Star edges canon_id→member for every exact-dup group — linear in
+    group size (NOT the quadratic all-pairs the reference's in-block
+    loop would produce)."""
+    groups = exact_groups(docs).filter(F.col("group_size") > 1)
+    return (
+        docs.join(groups, "content_sha")
+        .filter(F.col("doc_id") != F.col("canon_id"))
+        .select(
+            F.col("canon_id").alias("src"),
+            F.col("doc_id").alias("dst"),
+            F.lit(1.0).alias("est_jacc"),
+            F.lit(1.0).alias("sim"),
+            F.lit("exact").alias("kind"),
+        )
+    )
+
+
+def representatives(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One doc per content_sha (the min-doc_id member), long enough to
+    shingle. Only these rows flow into signatures/LSH."""
+    groups = exact_groups(docs)
+    return (
+        docs.join(
+            groups.select(F.col("canon_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .filter(F.col("n_chars") >= cfg.min_text_len)
+        .select("doc_id", "norm_text", "n_chars")
+    )

@@ -1,0 +1,109 @@
+"""Stage graph: the end-to-end near-duplicate pipeline (SURVEY.md §3.2).
+
+Every stage is a pure ``(DataFrame, DedupConfig) -> DataFrame`` — fully
+lazy, nothing executes until an action. ``run_dedup`` wires them
+together for library/driver use; jobs/run_dedup.py adds TableIO
+commits, lineage, and resume on top for the spark-submit path.
+
+    pages ──ingest──> docs ──reps──> shingles ──sig──> signatures
+      docs ──────────exact edges──────────────┐            │bands
+      signatures ──simhash candidates──┐      │            │
+      bands ──lsh candidates──> union ─┴─verify(jaccard)──> edges
+      edges ──connected components──> clusters ──assign──> output
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from dedup.candidates import cap_buckets, lsh_candidates, simhash_candidates
+from dedup.components import assign_clusters, connected_components
+from dedup.config import DEFAULT_CONFIG, DedupConfig
+from dedup.ingest import exact_edges, representatives, to_docs
+from dedup.signatures import with_bands, with_shingles, with_signatures
+from dedup.verify import verify_containment, verify_jaccard
+
+
+@dataclass
+class DedupResult:
+    docs: DataFrame
+    signatures: DataFrame
+    edges: DataFrame
+    clusters: DataFrame  # docs + cluster_id (singletons included)
+
+
+def build_edges(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    use_simhash: bool = True,
+    use_containment: bool = False,
+    persist: bool = True,
+):
+    """docs → (edges, signatures, shingles). Candidate generators are
+    unioned pre-verification; 'exact' edges bypass verification (they
+    are definitionally sim=1)."""
+    reps = representatives(docs, cfg)
+    shingles = with_shingles(reps, cfg)
+    if persist:
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = with_signatures(shingles, cfg)
+    if persist:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = with_bands(sigs, cfg)
+    bands, _hot = cap_buckets(bands, cfg.bucket_cap)
+
+    cands = lsh_candidates(bands, cfg)
+    if use_simhash:
+        cands = cands.union(simhash_candidates(sigs, cfg)).dropDuplicates(["src", "dst"])
+
+    near = verify_jaccard(cands, shingles, cfg)
+    e = exact_edges(docs).unionByName(near)
+    if use_containment:
+        sub = verify_containment(
+            cands.join(near.select("src", "dst"), ["src", "dst"], "left_anti"),
+            docs,
+            cfg,
+        )
+        e = e.unionByName(sub)
+    edges = e.dropDuplicates(["src", "dst"])
+    return edges, sigs, shingles
+
+
+def run_dedup(
+    pages: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    recompute_text: bool = False,
+    use_simhash: bool = True,
+    use_containment: bool = False,
+    edge_kinds: tuple[str, ...] = ("exact", "near"),
+) -> DedupResult:
+    """Full pipeline: pages → clusters. ``edge_kinds`` selects which edge
+    kinds participate in clustering (pinned default: exact + verified
+    Jaccard — the oracle in tests mirrors exactly this rule)."""
+    docs = to_docs(pages, cfg, recompute_text=recompute_text).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges, sigs, _sh = build_edges(
+        docs, cfg, use_simhash=use_simhash, use_containment=use_containment
+    )
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    comp = connected_components(
+        edges.filter(F.col("kind").isin(*edge_kinds)), max_iter=cfg.max_cc_iter
+    )
+    clusters = assign_clusters(docs, comp)
+    return DedupResult(docs=docs, signatures=sigs, edges=edges, clusters=clusters)
+
+
+def cluster_report(clusters: DataFrame) -> DataFrame:
+    """Cluster stats (F2/G2 surface): size, canonical member, span."""
+    return clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.min("warc_ts").alias("first_seen"),
+        F.max("warc_ts").alias("last_seen"),
+        F.round(F.avg("n_chars"), 2).alias("avg_n_chars"),
+    )

@@ -1,0 +1,209 @@
+"""Pair verification (SURVEY.md §2 E1-E5).
+
+The decider for 'near' edges is EXACT shingle-set Jaccard (E2), computed
+with built-in array functions on re-joined shingle arrays — JVM-side,
+no Python. MinHash-estimate (E1) is a cheap pure-SQL metric. The LCS
+ratio (E3) is the reference-parity matcher (the reference's pairwise
+string/LCS similarity, BASELINE.json:6), implemented as a vectorized
+pandas UDF with an O(n·m) numpy DP — like the reference it is only ever
+applied POST-blocking, to candidate pairs. Suffix-array containment
+(E5) detects long exact substring overlaps between candidate texts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+from dedup.config import DedupConfig
+
+
+def est_jaccard_expr(a: str = "mh_a", b: str = "mh_b", num_perm: int = 128) -> F.Column:
+    """Fraction of agreeing MinHash positions — pure SQL higher-order fns."""
+    return (
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_perm)
+    ).cast("double")
+
+
+def exact_jaccard_expr(a: str = "sh_a", b: str = "sh_b") -> F.Column:
+    """Exact Jaccard over (already-distinct) shingle hash arrays."""
+    inter = F.size(F.array_intersect(F.col(a), F.col(b)))
+    return (inter / (F.size(a) + F.size(b) - inter)).cast("double")
+
+
+def join_pair_arrays(
+    pairs: DataFrame, frame: DataFrame, col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """Attach per-doc array ``col`` for both sides of (src, dst)."""
+    fa = frame.select(F.col("doc_id").alias("src"), F.col(col).alias(out_a))
+    fb = frame.select(F.col("doc_id").alias("dst"), F.col(col).alias(out_b))
+    return pairs.join(fa, "src").join(fb, "dst")
+
+
+def verify_jaccard(pairs: DataFrame, shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate pairs → verified 'near' edges (exact Jaccard ≥ thresh)."""
+    withsh = join_pair_arrays(pairs, shingles, "shingles", "sh_a", "sh_b")
+    return (
+        withsh.withColumn("sim", exact_jaccard_expr())
+        .filter(F.col("sim") >= cfg.jaccard_thresh)
+        .select(
+            "src",
+            "dst",
+            F.lit(None).cast("double").alias("est_jacc"),
+            "sim",
+            F.lit("near").alias("kind"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3: LCS ratio (reference-parity matcher) — vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+_LCS_MAX_CHARS = 2000  # DP guard: strings are truncated to this length
+
+
+def _lcs_len_exact(a: str, b: str) -> int:
+    """Exact LCS length, numpy rolling-row DP — O(n·m) time, O(m) space,
+    vectorized over the inner axis. Row recurrence: with
+    cur_pre[j] = max(prev[j], prev[j-1] + eq_j), the standard
+    dp[i][j] = max(prev[j], cur[j-1], prev[j-1]+eq_j) equals the running
+    maximum of cur_pre (rows of an LCS table are monotone), so one
+    np.maximum.accumulate per row replaces the inner python loop."""
+    a, b = a[:_LCS_MAX_CHARS], b[:_LCS_MAX_CHARS]
+    if not a or not b:
+        return 0
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.zeros(len(bb) + 1, dtype=np.int32)
+    for ch in np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32):
+        cand = np.where(bb == ch, prev[:-1] + 1, 0)
+        cur = np.maximum(prev[1:], cand)
+        np.maximum.accumulate(cur, out=cur)
+        prev = np.concatenate(([0], cur))
+    return int(prev[-1])
+
+
+@F.pandas_udf(DoubleType())
+def lcs_ratio_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """ratio = 2·LCS(a,b) / (len a + len b) ∈ [0,1]."""
+    for a_s, b_s in it:
+        out = []
+        for a, b in zip(a_s, b_s):
+            a = a or ""
+            b = b or ""
+            denom = len(a[:_LCS_MAX_CHARS]) + len(b[:_LCS_MAX_CHARS])
+            out.append(2.0 * _lcs_len_exact(a, b) / denom if denom else 1.0)
+        yield pd.Series(out, dtype="float64")
+
+
+# ---------------------------------------------------------------------------
+# E5: longest common substring via generalized suffix automaton-free
+# numpy suffix doubling — per candidate pair, applied post-blocking
+# ---------------------------------------------------------------------------
+
+_SUBSTR_MAX_CHARS = 20000
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Length of the longest exact common substring of a and b.
+
+    Generalized suffix array over a + SEP + b via numpy argsort-doubling
+    (O(n log² n)), then max LCP between adjacent suffixes from different
+    strings (Kasai). SEP is a sentinel outside both alphabets."""
+    a, b = a[:_SUBSTR_MAX_CHARS], b[:_SUBSTR_MAX_CHARS]
+    if not a or not b:
+        return 0
+    ua = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) + 2
+    ub = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) + 2
+    s = np.concatenate([ua, np.array([1], dtype=np.int64), ub])  # 1 = sentinel
+    n = len(s)
+    # suffix array by prefix doubling
+    rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        pair = np.stack([rank[order], key2[order]], axis=1)
+        new_rank = np.empty(n, dtype=np.int64)
+        changed = np.any(pair[1:] != pair[:-1], axis=1)
+        new_rank[order] = np.concatenate(([0], np.cumsum(changed)))
+        rank = new_rank
+        if rank.max() == n - 1:
+            break
+        k *= 2
+    sa = np.empty(n, dtype=np.int64)
+    sa[rank] = np.arange(n)
+    # Kasai LCP
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    # adjacent suffixes from different source strings
+    from_a = sa < len(ua)
+    best = 0
+    for r in range(1, n):
+        if from_a[r] != from_a[r - 1] and lcp[r] > best:
+            best = int(lcp[r])
+    return best
+
+
+@F.pandas_udf(IntegerType())
+def lcsubstr_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    for a_s, b_s in it:
+        yield pd.Series(
+            [longest_common_substring_len(a or "", b or "") for a, b in zip(a_s, b_s)],
+            dtype="int32",
+        )
+
+
+def verify_containment(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate pairs → 'substr' containment edges: longest exact common
+    substring ≥ substr_min_len chars. sim = overlap / min(len) ∈ [0,1]."""
+    texts = docs.select("doc_id", "norm_text", "n_chars")
+    p = (
+        pairs.join(
+            texts.select(
+                F.col("doc_id").alias("src"),
+                F.col("norm_text").alias("t_a"),
+                F.col("n_chars").alias("n_a"),
+            ),
+            "src",
+        ).join(
+            texts.select(
+                F.col("doc_id").alias("dst"),
+                F.col("norm_text").alias("t_b"),
+                F.col("n_chars").alias("n_b"),
+            ),
+            "dst",
+        )
+    )
+    return (
+        p.withColumn("overlap", lcsubstr_udf(F.col("t_a"), F.col("t_b")))
+        .filter(F.col("overlap") >= cfg.substr_min_len)
+        .select(
+            "src",
+            "dst",
+            F.lit(None).cast("double").alias("est_jacc"),
+            (F.col("overlap") / F.least("n_a", "n_b")).cast("double").alias("sim"),
+            F.lit("substr").alias("kind"),
+        )
+    )

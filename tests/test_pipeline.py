@@ -1,0 +1,108 @@
+"""End-to-end pipeline vs the brute-force oracle: recall gate + exact
+cluster-partition match + determinism across parallelism (SURVEY §5.2/5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.config import DEFAULT_CONFIG, HIGH_RECALL_CONFIG
+from dedup.pipeline import run_dedup
+from tests.oracle import partition_of, run_oracle
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_pages):
+    pages, _ = tiny_pages
+    return run_oracle(pages, DEFAULT_CONFIG)
+
+
+@pytest.fixture(scope="module")
+def result(spark, tiny_pages_df):
+    return run_dedup(tiny_pages_df, DEFAULT_CONFIG)
+
+
+def _near_pairs(result) -> set[tuple[int, int]]:
+    rows = result.edges.filter(F.col("kind") == "near").select("src", "dst").collect()
+    return {(r["src"], r["dst"]) for r in rows}
+
+
+def _exact_pairs(result) -> set[tuple[int, int]]:
+    rows = result.edges.filter(F.col("kind") == "exact").select("src", "dst").collect()
+    return {(min(r["src"], r["dst"]), max(r["src"], r["dst"])) for r in rows}
+
+
+def test_exact_edges_match_oracle(result, oracle):
+    assert _exact_pairs(result) == oracle.exact_edges
+
+
+def test_no_false_positives(result, oracle):
+    """Every emitted 'near' edge is a true pair (exact-Jaccard verified,
+    so precision must be 1.0 modulo hash collisions)."""
+    got = _near_pairs(result)
+    assert got <= oracle.near_pairs, f"false positives: {got - oracle.near_pairs}"
+
+
+def test_recall_default_preset(result, oracle):
+    got = _near_pairs(result)
+    truth = oracle.near_pairs
+    recall = len(got & truth) / len(truth)
+    # 16×8 banding: P(cand|J=0.8) ≈ 0.964 per band analysis + SimHash union
+    assert len(truth) > 50, "fixture must contain a meaningful truth set"
+    assert recall >= 0.95, f"default-preset recall {recall:.4f}"
+
+
+def test_recall_gate_high_recall_preset(spark, tiny_pages_df, tiny_pages):
+    """The BASELINE.json:2 hard gate: recall ≥ 0.99 at the high-recall
+    preset, and the cluster partition matches the oracle exactly."""
+    pages, _ = tiny_pages
+    cfg = HIGH_RECALL_CONFIG
+    oracle = run_oracle(pages, cfg)
+    res = run_dedup(tiny_pages_df, cfg)
+    got = _near_pairs(res)
+    truth = oracle.near_pairs
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f} < 0.99 ({len(truth)} truth pairs)"
+    # cluster partitions equal (min-id labeling both sides)
+    rows = res.clusters.select("doc_id", "cluster_id").collect()
+    got_clusters = {r["doc_id"]: r["cluster_id"] for r in rows}
+    if recall == 1.0:
+        assert partition_of(got_clusters) == partition_of(oracle.clusters)
+        assert got_clusters == oracle.clusters  # identical labels, not just shape
+    else:  # missed pairs may split a cluster; assert containment direction
+        assert len(partition_of(got_clusters)) >= len(partition_of(oracle.clusters))
+
+
+def test_cluster_truth_kinds(result, tiny_pages, oracle):
+    """Injected exact/chain dups land in the same cluster as their base."""
+    pages, truth = tiny_pages
+    rows = result.clusters.select("url", "cluster_id").collect()
+    cl = {r["url"]: r["cluster_id"] for r in rows}
+    exact = truth[truth["kind"] == "exact"]
+    same = sum(cl[r["url"]] == cl[r["dup_of_url"]] for _, r in exact.iterrows())
+    assert same == len(exact), "every exact dup must join its base's cluster"
+
+
+def test_determinism_across_parallelism(spark, tiny_pages):
+    """Same clusters regardless of input partitioning (BASELINE.json:15
+    determinism; SURVEY §5.2.3)."""
+    from dedup.schema import PAGES
+
+    pages, _ = tiny_pages
+    sample = pages.head(400)
+    a = run_dedup(
+        spark.createDataFrame(sample, schema=PAGES).repartition(2), DEFAULT_CONFIG
+    )
+    b = run_dedup(
+        spark.createDataFrame(sample, schema=PAGES).repartition(13), DEFAULT_CONFIG
+    )
+    ca = sorted((r["url"], r["cluster_id"]) for r in a.clusters.select("url", "cluster_id").collect())
+    cb = sorted((r["url"], r["cluster_id"]) for r in b.clusters.select("url", "cluster_id").collect())
+    assert ca == cb
+
+
+def test_no_per_row_python_in_plan(result):
+    """BASELINE.json:15: vectorized Arrow UDFs only — the physical plan
+    must contain no row-at-a-time BatchEvalPython node."""
+    plan = result.edges._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
