@@ -1,0 +1,899 @@
+"""Driver-harness query registry (SURVEY.md §2 — the qkey contract).
+
+Every entry here is exposed through ``__spark_entry__.queries()``; SQL
+strings are the DuckDB oracle twins exposed through ``oracle_sql()``.
+Rules that keep the driver's order-insensitive value-hash compare green
+(SURVEY.md §0, driver contract):
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- doubles are ``round(x, 4)`` at the same points on both sides;
+- integers are cast to BIGINT on both sides (Spark ``int`` vs DuckDB
+  ``BIGINT`` would hash differently);
+- timestamps leave as BIGINT epoch seconds (``cast(ts as long)`` —
+  session-timezone-independent) or as calendar fields with the Spark
+  session pinned to UTC (DuckDB reads parquet timestamps naive-UTC);
+- window/topk ranks order by ROUNDED values with unique-id tiebreaks so
+  cross-engine float noise cannot flip ranks.
+
+Entries without a SQL twin (hash-seeded signatures, iterative
+clustering, pUDF-only ops) register ``sql=None`` → the driver records a
+rows-only check; our own pytest suite covers their semantics against
+brute-force oracles instead (tests/oracle.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedup.config import DEFAULT_CONFIG, HIGH_RECALL_CONFIG
+from dedup.signatures import shingles_expr, with_bands, with_shingles, with_signatures
+from dedup.simsearch import brute_force_pairs, cosine_expr, lsh_pairs, topk_neighbors
+from dedup.text import normalize_text
+from dedup.textstats import (
+    STOPWORDS,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_exprs,
+    quality_score_expr,
+    regex_token_count_expr,
+    token_count_expr,
+    tokens_expr,
+)
+
+# registry: qkey -> (fn(spark, sf_dir) -> DataFrame, duckdb sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver-provided parquet table. Session timezone is
+    pinned to UTC so calendar functions match DuckDB's naive-UTC read."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + norm_text (the canonical text preprocessing step)."""
+    return load(spark, sf_dir, "documents").withColumn(
+        "norm_text", normalize_text("text")
+    )
+
+
+def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table to the web_pages input shape
+    (url, warc_ts, html, text, lang) so the full pipeline runs on it."""
+    return load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+#: DuckDB fragment: the pinned normalization (twin of text.normalize_text).
+#: Real control characters are embedded so no escape-interpretation layer
+#: can desynchronize the regex between engines.
+NORM_SQL = "trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g'))"
+
+#: DuckDB fragment: distinct char-5-gram shingle strings of nt.
+SHINGLES_SQL = (
+    "list_distinct([nt[i:i+4] for i in generate_series(1, greatest(length(nt)-4, 1))])"
+)
+
+
+# ---------------------------------------------------------------------------
+# A. scans / sources
+# ---------------------------------------------------------------------------
+
+
+@register("scan_pages", "SELECT doc_id, text, lang, source, n_chars FROM documents")
+def q_scan_pages(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register("gen_pages")  # rows-only: deterministic synthetic generator (A5)
+def q_gen_pages(spark, sf_dir):
+    from dedup.datagen import gen_pages
+
+    pages = gen_pages(spark, 500, seed=42, partitions=8)
+    return pages.select("url", "lang", F.length("text").cast("long").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# B. projection / filter / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register("project_prune", "SELECT doc_id, lang, n_chars FROM documents")
+def q_project_prune(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "filter_pred",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 200",
+)
+def q_filter_pred(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register("normalize_text", f"SELECT doc_id, {NORM_SQL} AS norm_text FROM documents")
+def q_normalize_text(spark, sf_dir):
+    return docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+
+
+@register("content_hash", "SELECT doc_id, sha256(text) AS content_sha FROM documents")
+def q_content_hash(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+
+
+@register(
+    "string_fns",
+    "SELECT doc_id, length(text)::BIGINT AS len, upper(substr(text, 1, 10)) AS prefix_u,"
+    " concat_ws('|', lang, source) AS tag,"
+    " length(string_split(text, ' '))::BIGINT AS n_ws_tokens,"
+    " regexp_extract(text, '[a-z]+') AS first_word FROM documents",
+)
+def q_string_fns(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("len"),
+        F.upper(F.substring("text", 1, 10)).alias("prefix_u"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_ws_tokens"),
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+    )
+
+
+@register(
+    "date_fns",
+    "SELECT event_id, year(ts)::BIGINT AS y, month(ts)::BIGINT AS m,"
+    " day(ts)::BIGINT AS d, hour(ts)::BIGINT AS h,"
+    " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch FROM events",
+)
+def q_date_fns(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+    )
+
+
+@register(
+    "math_bit_fns",
+    "SELECT event_id, xor(event_id, user_id) AS x, bit_count(event_id)::BIGINT AS bc,"
+    " ((event_id % 1000) << 3) AS sl, (((event_id - user_id) % 7) + 7) % 7 AS pm"
+    " FROM events",
+)
+def q_math_bit_fns(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("x"),
+        F.bit_count("event_id").cast("long").alias("bc"),
+        F.shiftleft(F.col("event_id") % 1000, 3).cast("long").alias("sl"),
+        F.pmod(F.col("event_id") - F.col("user_id"), F.lit(7)).cast("long").alias("pm"),
+    )
+
+
+@register(
+    "array_fns",
+    "SELECT vec_id, length(embedding)::BIGINT AS n_dim,"
+    " round(embedding[1]::DOUBLE, 4) AS e0,"
+    " round(list_aggregate(embedding::DOUBLE[], 'max'), 4) AS emax,"
+    " round(list_aggregate(embedding::DOUBLE[], 'min'), 4) AS emin FROM embeddings",
+)
+def q_array_fns(spark, sf_dir):
+    v = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return v.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        F.round(F.array_max(dbl), 4).alias("emax"),
+        F.round(F.array_min(dbl), 4).alias("emin"),
+    )
+
+
+@register(
+    "json_map_fns",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+)
+def q_json_map_fns(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. signatures
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shingle",
+    f"WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents)"
+    f" SELECT doc_id, length({SHINGLES_SQL})::BIGINT AS n_shingles FROM d",
+)
+def q_shingle(spark, sf_dir):
+    # the real pipeline op (hashed shingles); distinct-hash count equals
+    # distinct-string count modulo 64-bit collisions (none at this scale)
+    d = docs_norm(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(shingles_expr("norm_text", DEFAULT_CONFIG.k)).cast("long").alias("n_shingles"),
+    )
+
+
+@register("minhash")  # rows-only: seeded-hash signature (C2)
+def q_minhash(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+    sigs = with_signatures(with_shingles(d, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    return sigs.select("doc_id", F.element_at("minhash", 1).alias("mh0"), "n_shingles")
+
+
+@register("simhash")  # rows-only (C3)
+def q_simhash(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+    sigs = with_signatures(with_shingles(d, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    return sigs.select("doc_id", "simhash")
+
+
+@register(
+    "band_keys",
+    "SELECT doc_id, i::BIGINT AS band FROM documents, generate_series(0, 15) t(i)",
+)
+def q_band_keys(spark, sf_dir):
+    # structural twin: every doc yields exactly `bands` band rows
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+    sigs = with_signatures(with_shingles(d, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    return with_bands(sigs, DEFAULT_CONFIG).select(
+        "doc_id", F.col("band").cast("long").alias("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_join",
+    "SELECT r_name, count(DISTINCT n_nationkey) AS n_nations, count(*) AS n_customers,"
+    " round(avg(c_acctbal), 4) AS avg_bal"
+    " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def q_broadcast_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "range_join",
+    "SELECT a.lang AS lang, count(*) AS n_pairs FROM documents a JOIN documents b"
+    " ON a.lang = b.lang AND a.doc_id < b.doc_id"
+    " AND least(a.n_chars, b.n_chars) >= greatest(a.n_chars, b.n_chars) * 0.9"
+    " GROUP BY a.lang",
+)
+def q_range_join(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    a = d.select(F.col("doc_id").alias("src"), "lang", F.col("n_chars").alias("na"))
+    b = d.select(F.col("doc_id").alias("dst"), "lang", F.col("n_chars").alias("nb"))
+    return (
+        a.join(b, "lang")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(0.9))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "semi_join",
+    "SELECT c_custkey, c_name FROM customer"
+    " WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_semi_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join",
+    "SELECT c_custkey, c_name FROM customer"
+    " WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "asof_latest",
+    "SELECT user_id, event_id AS last_event_id,"
+    " CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch"
+    " FROM events QUALIFY row_number() OVER"
+    " (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1",
+)
+def q_asof_latest(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            # parquet reads as TIMESTAMP_NTZ; route through LTZ (session
+            # pinned UTC) to get the same epoch DuckDB's naive read gives
+            F.col("ts").cast("timestamp_ltz").cast("long").alias("ts_epoch"),
+        )
+    )
+
+
+@register(
+    "interval_overlap",
+    "SELECT a.user_id AS user_id, count(*) AS n_overlaps FROM events a JOIN events b"
+    " ON a.user_id = b.user_id AND a.event_id < b.event_id"
+    " AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 1800 GROUP BY a.user_id",
+)
+def q_interval_overlap(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("tse"),
+    )
+    a = e.select("user_id", F.col("event_id").alias("ea"), F.col("tse").alias("ta"))
+    b = e.select("user_id", F.col("event_id").alias("eb"), F.col("tse").alias("tb"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("ea") < F.col("eb"))
+        .filter(F.abs(F.col("ta") - F.col("tb")) <= 1800)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_overlaps"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. pair verification / n-gram dedup
+# ---------------------------------------------------------------------------
+
+_NGRAM_JACC_SQL = f"""
+WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM d),
+p AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+        length(list_intersect(a.s, b.s))::DOUBLE
+          / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT src, dst, round(j, 4) AS jacc FROM p WHERE j >= 0.3
+"""
+
+
+@register("ngram_jaccard", _NGRAM_JACC_SQL)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact char-5-gram Jaccard near-dup pairs (E2 as a standalone
+    dedup op, string shingles so the oracle is hash-free)."""
+    k = DEFAULT_CONFIG.k
+    d = docs_norm(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("norm_text") - (k - 1), F.lit(1))
+                ),
+                lambda i: F.col("norm_text").substr(i, F.lit(k)),
+            )
+        ).alias("s"),
+    )
+    a = d.select(F.col("doc_id").alias("src"), F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    j = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("j", j)
+        .filter(F.col("j") >= 0.3)
+        .select("src", "dst", F.round("j", 4).alias("jacc"))
+    )
+
+
+@register("est_jaccard")  # rows-only (E1: minhash agreement on candidates)
+def q_est_jaccard(spark, sf_dir):
+    from dedup.candidates import lsh_candidates
+    from dedup.verify import est_jaccard_expr, join_pair_arrays
+
+    cfg = DEFAULT_CONFIG
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+    sigs = with_signatures(with_shingles(d, cfg), cfg)
+    cands = lsh_candidates(with_bands(sigs, cfg), cfg)
+    pairs = join_pair_arrays(cands, sigs, "minhash", "mh_a", "mh_b")
+    return pairs.select(
+        "src", "dst", F.round(est_jaccard_expr(num_perm=cfg.num_perm), 4).alias("est_jacc")
+    )
+
+
+@register("lcs_ratio")  # rows-only (E3: reference-parity matcher)
+def q_lcs_ratio(spark, sf_dir):
+    from dedup.verify import lcs_ratio_udf
+
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text").limit(40)
+    a = d.select(F.col("doc_id").alias("src"), F.col("norm_text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("norm_text").alias("tb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.round(lcs_ratio_udf("ta", "tb"), 4).alias("lcs"))
+    )
+
+
+@register("hamming_simhash")  # rows-only (E4)
+def q_hamming_simhash(spark, sf_dir):
+    from dedup.candidates import simhash_candidates
+
+    cfg = DEFAULT_CONFIG
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+    sigs = with_signatures(with_shingles(d, cfg), cfg)
+    return simhash_candidates(sigs, cfg)
+
+
+@register("substr_dedup")  # rows-only (E5: suffix-array containment)
+def q_substr_dedup(spark, sf_dir):
+    from dedup.verify import verify_containment
+
+    cfg = DEFAULT_CONFIG.with_(substr_min_len=40)
+    d = docs_norm(spark, sf_dir).select(
+        "doc_id", "norm_text", F.length("norm_text").cast("long").alias("n_chars")
+    ).limit(60)
+    a = d.select(F.col("doc_id").alias("src"))
+    b = d.select(F.col("doc_id").alias("dst"))
+    pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    return verify_containment(pairs, d, cfg).select("src", "dst", F.round("sim", 4).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# F. aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    "SELECT sha256(substr(text, 1, 80)) AS key80, min(doc_id) AS canon_id,"
+    " count(*) AS n_members FROM documents GROUP BY 1",
+)
+def q_exact_dedup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.sha2(F.substring("text", 1, 80), 256).alias("key80"))
+        .agg(F.min("doc_id").alias("canon_id"), F.count("*").alias("n_members"))
+    )
+
+
+@register(
+    "group_agg",
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,"
+    " round(avg(n_chars), 4) AS avg_chars, min(n_chars) AS min_chars,"
+    " max(n_chars) AS max_chars FROM documents GROUP BY lang",
+)
+def q_group_agg(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register("distinct_ops", "SELECT DISTINCT lang, source FROM documents")
+def q_distinct_ops(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@register("approx_metrics")  # rows-only (F4: HLL++ is approximate by design)
+def q_approx_metrics(spark, sf_dir):
+    return load(spark, sf_dir, "documents").agg(
+        F.approx_count_distinct("text", 0.02).alias("approx_texts"),
+        F.approx_count_distinct("lang", 0.02).alias("approx_langs"),
+    )
+
+
+@register(
+    "rollup_report",
+    "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,"
+    " count(*) AS n_docs, sum(n_chars) AS sum_chars FROM documents"
+    " GROUP BY ROLLUP(lang, source)",
+)
+def q_rollup_report(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+@register(
+    "collect_bucket",
+    "SELECT lang, count(*) AS n_docs,"
+    " array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') AS members5"
+    " FROM documents GROUP BY lang",
+)
+def q_collect_bucket(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+            ).alias("members5"),
+        )
+    )
+
+
+@register(
+    "grouped_agg_udf",
+    "SELECT lang, round(avg(n_chars), 4) AS mean_chars FROM documents GROUP BY lang",
+)
+def q_grouped_agg_udf(spark, sf_dir):
+    from dedup.udfs import mean_udf
+
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.round(mean_udf("n_chars"), 4).alias("mean_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G. windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "canonical_pick",
+    "SELECT lang, doc_id, n_chars FROM documents QUALIFY"
+    " row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) = 1",
+)
+def q_canonical_pick(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "topk_per_group",
+    "SELECT lang, doc_id, n_chars, row_number() OVER"
+    " (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents"
+    " QUALIFY rank <= 3",
+)
+def q_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+@register(
+    "analytic_fns",
+    "SELECT user_id, event_id,"
+    " coalesce(lag(event_id) OVER w, -1) AS prev_event_id,"
+    " round(value - coalesce(lag(value) OVER w, 0.0), 4) AS delta_v FROM events"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+def q_analytic_fns(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event_id"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4
+        ).alias("delta_v"),
+    )
+
+
+@register(
+    "frame_agg",
+    "SELECT user_id, event_id, round(sum(value) OVER"
+    " (PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum FROM events",
+)
+def q_frame_agg(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("run_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H. sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_limit",
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
+)
+def q_order_limit(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "union_edges",
+    "SELECT doc_id FROM documents WHERE lang = 'en'"
+    " UNION SELECT doc_id FROM documents WHERE n_chars > 300",
+)
+def q_union_edges(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .unionByName(d.filter(F.col("n_chars") > 300).select("doc_id"))
+        .distinct()
+    )
+
+
+@register(
+    "set_ops",
+    "SELECT doc_id FROM documents WHERE lang = 'en'"
+    " EXCEPT SELECT doc_id FROM documents WHERE source = 'src0'",
+)
+def q_set_ops(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .subtract(d.filter(F.col("source") == "src0").select("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "ann_topk",
+    f"SELECT a.vec_id AS q_id, b.vec_id AS n_id, round({_COS_SQL}, 4) AS cos,"
+    " row_number() OVER (PARTITION BY a.vec_id"
+    f" ORDER BY round({_COS_SQL}, 4) DESC, b.vec_id ASC) AS rank"
+    " FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id"
+    " QUALIFY rank <= 5",
+)
+def q_ann_topk(spark, sf_dir):
+    v = load(spark, sf_dir, "embeddings")
+    return topk_neighbors(v, v.filter(F.col("vec_id") < 10), k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register(
+    "embedding_neardup",
+    f"SELECT a.vec_id AS src, b.vec_id AS dst, round({_COS_SQL}, 4) AS cos"
+    " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    f" WHERE round({_COS_SQL}, 4) >= 0.45",
+)
+def q_embedding_neardup(spark, sf_dir):
+    return brute_force_pairs(load(spark, sf_dir, "embeddings"), thresh=0.45)
+
+
+@register("ann_lsh")  # rows-only: sign-bit LSH bucketed variant (scale path)
+def q_ann_lsh(spark, sf_dir):
+    return lsh_pairs(load(spark, sf_dir, "embeddings"), thresh=0.45, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"length(list_intersect(list_distinct(string_split(nt, ' ')), [{words}]))"
+    )
+
+
+_LANG_ID_SQL = (
+    f"WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),"
+    " h AS (SELECT doc_id, "
+    + ", ".join(f"{_hits_sql(lg)} AS h_{lg}" for lg in STOPWORDS)
+    + ", greatest("
+    + ", ".join(f"{_hits_sql(lg)}" for lg in STOPWORDS)
+    + ") AS best FROM d)"
+    " SELECT doc_id, CASE WHEN best <= 0 THEN 'und'"
+    + " ".join(f"WHEN h_{lg} = best THEN '{lg}'" for lg in STOPWORDS)
+    + " ELSE 'und' END AS lang_guess FROM h"
+)
+
+
+@register("lang_id", _LANG_ID_SQL)
+def q_lang_id(spark, sf_dir):
+    return docs_norm(spark, sf_dir).select(
+        "doc_id", lang_id_expr("norm_text").alias("lang_guess")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+f AS (SELECT doc_id, nt,
+  length(string_split(nt, ' '))::BIGINT AS n_tokens,
+  round((length(nt) - length(string_split(nt, ' ')) + 1)
+        / length(string_split(nt, ' ')), 4) AS mean_tok_len,
+  round(length(regexp_replace(nt, '[^a-z0-9]', '', 'g'))
+        / greatest(length(nt), 1), 4) AS alnum_ratio,
+  round({_hits_sql('en')} / greatest(length(string_split(nt, ' ')), 1), 4)
+        AS stop_ratio,
+  round(length(list_distinct(string_split(nt, ' ')))
+        / greatest(length(string_split(nt, ' ')), 1), 4) AS uniq_tok_ratio
+  FROM d)
+SELECT doc_id, n_tokens, mean_tok_len, alnum_ratio, stop_ratio, uniq_tok_ratio,
+  round(least(length(nt) / 500.0, 1.0) + alnum_ratio
+        + least(stop_ratio * 10, 1.0) + uniq_tok_ratio, 4) AS quality
+FROM f
+"""
+
+
+@register("quality_score", _QUALITY_SQL)
+def q_quality_score(spark, sf_dir):
+    d = docs_norm(spark, sf_dir)
+    q = quality_exprs("norm_text")
+    return d.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_tok_len"].alias("mean_tok_len"),
+        q["alnum_ratio"].alias("alnum_ratio"),
+        q["stop_ratio"].alias("stop_ratio"),
+        q["uniq_tok_ratio"].alias("uniq_tok_ratio"),
+        quality_score_expr("norm_text").alias("quality"),
+    )
+
+
+@register(
+    "token_count",
+    f"WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents)"
+    " SELECT doc_id, length(string_split(nt, ' '))::BIGINT AS n_ws_tokens,"
+    " length(regexp_extract_all(nt, '[a-z0-9]+'))::BIGINT AS n_re_tokens FROM d",
+)
+def q_token_count(spark, sf_dir):
+    d = docs_norm(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_expr("norm_text").cast("long").alias("n_ws_tokens"),
+        regex_token_count_expr("norm_text").cast("long").alias("n_re_tokens"),
+    )
+
+
+@register("doc_fingerprint")  # rows-only (winnowing over hashed shingles)
+def q_doc_fingerprint(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+    sh = with_shingles(d, DEFAULT_CONFIG)
+    return sh.select(
+        "doc_id",
+        F.size(fingerprint_expr("shingles", window=4)).cast("long").alias("n_fp"),
+        F.element_at(fingerprint_expr("shingles", window=4), 1).alias("fp0"),
+    )
+
+
+@register("multimodal_meta")  # rows-only (binary-column decode plumbing)
+def q_multimodal_meta(spark, sf_dir):
+    from dedup.multimodal import extract_media_meta
+
+    media = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    return extract_media_meta(media, deterministic_fake=True)
+
+
+# ---------------------------------------------------------------------------
+# I. clustering — the flagship near-dup pipeline
+# ---------------------------------------------------------------------------
+
+
+@register("near_dup_clusters")  # rows-only (hash-seeded; pytest oracle covers it)
+def q_near_dup_clusters(spark, sf_dir):
+    from dedup.pipeline import run_dedup
+
+    pages = documents_as_pages(spark, sf_dir)
+    res = run_dedup(pages, HIGH_RECALL_CONFIG)
+    # map the synthetic url back to the source table's doc_id; cluster_id
+    # stays the pipeline's stable min-xxhash64 label
+    return res.clusters.select(
+        F.regexp_extract("url", "doc://(-?\\d+)", 1).cast("long").alias("doc_id"),
+        "cluster_id",
+    )
+
+
+@register("cluster_report")  # rows-only
+def q_cluster_report(spark, sf_dir):
+    from dedup.pipeline import cluster_report, run_dedup
+
+    pages = documents_as_pages(spark, sf_dir)
+    res = run_dedup(pages, HIGH_RECALL_CONFIG)
+    return cluster_report(res.clusters).select(
+        "cluster_id", "cluster_size", "canonical_doc_id"
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
