@@ -1,0 +1,117 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the pipeline stages that dominate at 100 TB (signature
+computation, LSH candidate join, clustering) plus the scan-bound
+training-data ops (quality/lang/token) and the embedding ANN path. The
+brute-force O(n²) variants are deliberately NOT benched — the LSH paths
+are the scale story.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
+    from pyspark.sql import functions as F
+
+    from dedup.config import DEFAULT_CONFIG
+    from dedup.pipeline import cluster_report, run_dedup
+    from dedup.queries import REGISTRY, documents_as_pages
+
+    def near_dup_pipeline():
+        res = run_dedup(documents_as_pages(spark, sf_dir), DEFAULT_CONFIG)
+        n = cluster_report(res.clusters).count()
+        for df in (res.docs, res.signatures, res.edges):
+            df.unpersist()
+        return n
+
+    def q(name):
+        return lambda: REGISTRY[name][0](spark, sf_dir).count()
+
+    return {
+        "near_dup_pipeline": near_dup_pipeline,
+        "exact_dedup": q("exact_dedup"),
+        "quality_scan": q("quality_score"),
+        "lang_id_scan": q("lang_id"),
+        "token_count_scan": q("token_count"),
+        "minhash_signatures": q("minhash"),
+        "simhash_blocking": q("hamming_simhash"),
+        "ann_lsh": q("ann_lsh"),
+        "group_topk": q("topk_per_group"),
+        "asof_latest": q("asof_latest"),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from dedup.session import get_spark
+
+    spark = get_spark(
+        app_name="dedup-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    queries = bench_queries(spark, sf_dir)
+    # warm-up: JVM codegen, shuffle machinery, and the Python worker pool
+    # (a real pandas-UDF job) are spun up once, outside timing
+    from pyspark.sql import functions as F
+
+    from dedup.udfs import mean_udf
+
+    warm = spark.range(1000).withColumn("g", F.col("id") % 8)
+    warm.groupBy("g").agg(mean_udf("id")).count()
+
+    times: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # warm pipeline pass: same job, caches dropped, JVM/codegen hot —
+    # the number comparable across parallelism levels (BENCH/BASELINE.md)
+    t0 = time.perf_counter()
+    queries["near_dup_pipeline"]()
+    times["near_dup_pipeline_warm"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    pipeline_docs_per_sec = round(n_docs / times["near_dup_pipeline_warm"], 1)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_docs,
+                "pipeline_docs_per_sec": pipeline_docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,25 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size the iteration's shuffles to the edge frame, not to the global
+    # shuffle.partitions: each iteration is several jobs, and on a small
+    # frontier wide shuffles are pure scheduling overhead; at scale this
+    # grows to ~one partition per 500k edges (bounded below by the
+    # session default). Restored after the loop.
+    n_edges = e.count()
+    spark = edges.sparkSession
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = max(4, min(int(n_edges / 500_000) + 1, 1024))
+    p = min(p, default_p) if n_edges < 500_000 else max(p, default_p)
+    old_partitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        return _cc_loop(e, max_iter, verbose)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_partitions)
+
+
+def _cc_loop(e: DataFrame, max_iter: int, verbose: bool) -> DataFrame:
     labels = (
         e.select(F.col("src").alias("id"))
         .distinct()

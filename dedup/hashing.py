@@ -156,6 +156,69 @@ def minhash_from_hashes(hashes: np.ndarray, consts: np.ndarray) -> np.ndarray:
     return out
 
 
+_PERM_BLOCK = 16  # perms per block: bounds the (block × total_shingles) matrix
+
+
+def minhash_batch(flat: np.ndarray, lengths: np.ndarray, consts: np.ndarray) -> np.ndarray:
+    """Batched MinHash: signatures for MANY docs in one numpy pass.
+
+    ``flat``: all docs' shingle hashes concatenated (uint64-viewable);
+    ``lengths``: per-doc shingle counts (sum == len(flat)).
+    Returns (n_docs, num_perm) uint64. Bit-identical to calling
+    ``minhash_from_hashes`` per doc (asserted in tests) — the per-batch
+    segment-min (``np.minimum.reduceat``) replaces the per-doc Python
+    loop, which is what makes the Arrow-batch UDF CPU-bound in numpy
+    rather than in the interpreter.
+    """
+    n = len(lengths)
+    num_perm = len(consts)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if flat.size == 0 or n == 0:
+        return out
+    h = np.asarray(flat).astype(np.int64, copy=False).view(np.uint64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    # reduceat over NON-EMPTY segments only: an empty segment would make
+    # reduceat mis-read (and clipping a trailing empty start would
+    # truncate the previous segment); consecutive non-empty starts span
+    # exactly the right elements because empty docs contribute none.
+    nonempty = lengths > 0
+    starts_ne = starts[nonempty]
+    for b0 in range(0, num_perm, _PERM_BLOCK):
+        c = consts[b0 : b0 + _PERM_BLOCK]
+        z = mix64(h[None, :] + c[:, None])              # (block, total)
+        m = np.minimum.reduceat(z, starts_ne, axis=1)   # (block, n_nonempty)
+        out[nonempty, b0 : b0 + len(c)] = m.T
+    return out
+
+
+def simhash_batch(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Batched SimHash: one int64 per doc, bit-identical to
+    ``simhash_from_hashes`` per doc. Bit matrix comes from
+    ``np.unpackbits`` on the little-endian byte view (bit b of the
+    uint64 == column b), votes from a segmented ``add.reduceat``."""
+    n = len(lengths)
+    out = np.zeros(n, dtype=np.int64)
+    if flat.size == 0 or n == 0:
+        return out
+    h = np.asarray(flat).astype(np.int64, copy=False).view(np.uint64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )  # (total, 64) uint8
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0  # see minhash_batch for the empty-segment rule
+    counts = np.add.reduceat(bits, starts[nonempty], axis=0, dtype=np.int64)
+    votes = counts * 2 - lengths[nonempty][:, None]
+    words = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = words.view(np.int64)
+    return out
+
+
 def simhash_from_hashes(hashes: np.ndarray) -> int:
     """64-bit SimHash: bit b = 1 iff strictly more shingle hashes have bit
     b set than clear. Returns signed int64 (Spark LongType). Empty → 0."""

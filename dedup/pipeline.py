@@ -49,10 +49,17 @@ def build_edges(
     reps = representatives(docs, cfg)
     shingles = with_shingles(reps, cfg)
     if persist:
-        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+        # deserialized cache + EAGER materialization: six downstream
+        # branches (bands a/b, simhash a/b, verify a/b) reference this
+        # frame inside one action — if the cache is still lazy when the
+        # action starts, concurrent stages each recompute it (measured
+        # 6× blowup). One count() up front removes that race.
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        shingles.count()
+    # signatures are deliberately NOT persisted: recomputing the batch
+    # UDF from cached shingles costs ~0.3 s, while building a columnar
+    # cache of 128-long arrays costs seconds-to-tens (measured sf0.1)
     sigs = with_signatures(shingles, cfg)
-    if persist:
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = with_bands(sigs, cfg)
     bands, _hot = cap_buckets(bands, cfg.bucket_cap)
 
@@ -85,12 +92,13 @@ def run_dedup(
     kinds participate in clustering (pinned default: exact + verified
     Jaccard — the oracle in tests mirrors exactly this rule)."""
     docs = to_docs(pages, cfg, recompute_text=recompute_text).persist(
-        StorageLevel.MEMORY_AND_DISK
+        StorageLevel.MEMORY_AND_DISK_DESER
     )
+    docs.count()  # eager — see build_edges
     edges, sigs, _sh = build_edges(
         docs, cfg, use_simhash=use_simhash, use_containment=use_containment
     )
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     comp = connected_components(
         edges.filter(F.col("kind").isin(*edge_kinds)), max_iter=cfg.max_cc_iter
     )

@@ -81,6 +81,30 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memoized (and persisted) per-(sf_dir, config) shingle/signature frames —
+#: several harness queries need signatures, and self-joins would otherwise
+#: recompute the signature UDF once per join side.
+_SIG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(kind: str, spark: SparkSession, sf_dir: str, cfg) -> DataFrame:
+    key = (kind, sf_dir, cfg.config_hash())
+    if key not in _SIG_CACHE:
+        d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+        # a single small parquet file scans as ONE partition — without
+        # this the CPU-heavy signature UDF runs on one core; at real
+        # scale the source is already thousands of splits and the
+        # repartition is a no-op by condition
+        if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+            d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        if kind == "shingles":
+            df = with_shingles(d, cfg)
+        else:
+            df = with_signatures(with_shingles(d, cfg), cfg)
+        _SIG_CACHE[key] = df.persist()
+    return _SIG_CACHE[key]
+
+
 #: DuckDB fragment: the pinned normalization (twin of text.normalize_text).
 #: Real control characters are embedded so no escape-interpretation layer
 #: can desynchronize the regex between engines.
@@ -250,15 +274,13 @@ def q_shingle(spark, sf_dir):
 
 @register("minhash")  # rows-only: seeded-hash signature (C2)
 def q_minhash(spark, sf_dir):
-    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
-    sigs = with_signatures(with_shingles(d, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    sigs = _cached("signatures", spark, sf_dir, DEFAULT_CONFIG)
     return sigs.select("doc_id", F.element_at("minhash", 1).alias("mh0"), "n_shingles")
 
 
 @register("simhash")  # rows-only (C3)
 def q_simhash(spark, sf_dir):
-    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
-    sigs = with_signatures(with_shingles(d, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    sigs = _cached("signatures", spark, sf_dir, DEFAULT_CONFIG)
     return sigs.select("doc_id", "simhash")
 
 
@@ -268,8 +290,7 @@ def q_simhash(spark, sf_dir):
 )
 def q_band_keys(spark, sf_dir):
     # structural twin: every doc yields exactly `bands` band rows
-    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
-    sigs = with_signatures(with_shingles(d, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    sigs = _cached("signatures", spark, sf_dir, DEFAULT_CONFIG)
     return with_bands(sigs, DEFAULT_CONFIG).select(
         "doc_id", F.col("band").cast("long").alias("band")
     )
@@ -445,8 +466,7 @@ def q_est_jaccard(spark, sf_dir):
     from dedup.verify import est_jaccard_expr, join_pair_arrays
 
     cfg = DEFAULT_CONFIG
-    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
-    sigs = with_signatures(with_shingles(d, cfg), cfg)
+    sigs = _cached("signatures", spark, sf_dir, cfg)
     cands = lsh_candidates(with_bands(sigs, cfg), cfg)
     pairs = join_pair_arrays(cands, sigs, "minhash", "mh_a", "mh_b")
     return pairs.select(
@@ -473,8 +493,7 @@ def q_hamming_simhash(spark, sf_dir):
     from dedup.candidates import simhash_candidates
 
     cfg = DEFAULT_CONFIG
-    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
-    sigs = with_signatures(with_shingles(d, cfg), cfg)
+    sigs = _cached("signatures", spark, sf_dir, cfg)
     return simhash_candidates(sigs, cfg)
 
 
@@ -841,8 +860,7 @@ def q_token_count(spark, sf_dir):
 
 @register("doc_fingerprint")  # rows-only (winnowing over hashed shingles)
 def q_doc_fingerprint(spark, sf_dir):
-    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
-    sh = with_shingles(d, DEFAULT_CONFIG)
+    sh = _cached("shingles", spark, sf_dir, DEFAULT_CONFIG)
     return sh.select(
         "doc_id",
         F.size(fingerprint_expr("shingles", window=4)).cast("long").alias("n_fp"),

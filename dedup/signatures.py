@@ -14,10 +14,11 @@ Division of labor, chosen deliberately for scale:
 - **Band keys are again pure SQL** (slice + xxhash64 over array),
   exploded JVM-side.
 
-The signatures frame is ``repartitionByRange`` on (minhash[0], doc_id)
-before banding/persist (BASELINE.json:6): range-clusters similar docs,
-gives deterministic file clustering, and balances the downstream
-band-explode shuffle.
+Committed signature tables are ``repartitionByRange`` on (minhash[0],
+doc_id) via ``range_partition_by_sig_prefix`` (BASELINE.json:6): range-
+clusters similar docs and gives deterministic file clustering. It is a
+SINK-side step — range partitioning samples its child, so doing it
+mid-pipeline would evaluate the signature UDF twice.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 from dedup.config import DedupConfig
-from dedup.hashing import minhash_from_hashes, perm_consts, simhash_from_hashes
+from dedup.hashing import minhash_batch, perm_consts, simhash_batch
 
 
 def shingles_expr(text_col: str, k: int) -> F.Column:
@@ -63,29 +64,32 @@ _SIG_STRUCT = StructType(
 
 def _make_sig_udf(num_perm: int, perm_seed: int):
     """Iterator-form pandas UDF: shingle-hash arrays → struct(minhash,
-    simhash). Iterator form amortizes the permutation-constant setup
-    per Arrow batch stream (SURVEY §2 K1)."""
+    simhash). Iterator form amortizes the permutation-constant setup per
+    Arrow batch stream (SURVEY §2 K1); inside a batch the whole
+    signature computation is ONE flattened numpy pass (segment-min /
+    segment-vote via ``reduceat``, hashing.minhash_batch) — no
+    per-document Python loop anywhere."""
 
     @F.pandas_udf(_SIG_STRUCT)
     def sig_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         consts = perm_consts(num_perm, perm_seed)
         for sh in batches:
-            minhashes = []
-            simhashes = []
-            for arr in sh:
-                a = np.asarray(arr, dtype=np.int64)
-                minhashes.append(minhash_from_hashes(a, consts).view(np.int64).tolist())
-                simhashes.append(simhash_from_hashes(a))
-            yield pd.DataFrame({"minhash": minhashes, "simhash": simhashes})
+            arrs = [np.asarray(a, dtype=np.int64) for a in sh]
+            lengths = np.array([a.size for a in arrs], dtype=np.int64)
+            flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+            mh = minhash_batch(flat, lengths, consts).view(np.int64)
+            simh = simhash_batch(flat, lengths)
+            yield pd.DataFrame(
+                {"minhash": list(mh), "simhash": simh}
+            )
 
     return sig_udf
 
 
 def with_signatures(shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """shingles → signatures frame (schema.SIGNATURES), range-partitioned
-    on signature prefix for deterministic downstream layout."""
+    """shingles → signatures frame (schema.SIGNATURES)."""
     sig_udf = _make_sig_udf(cfg.num_perm, cfg.perm_seed)
-    sigs = shingles.select(
+    return shingles.select(
         "doc_id",
         sig_udf(F.col("shingles")).alias("sig"),
         "n_shingles",
@@ -95,10 +99,17 @@ def with_signatures(shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("sig.simhash").alias("simhash"),
         "n_shingles",
     )
-    n_part = sigs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return sigs.repartitionByRange(
-        int(n_part), F.col("minhash")[0], F.col("doc_id")
-    )
+
+
+def range_partition_by_sig_prefix(sigs: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """``repartitionByRange`` on (minhash[0], doc_id) — the BASELINE.json:6
+    signature-prefix range clustering. Applied at the SINK boundary (file
+    clustering before a committed write), NOT mid-pipeline: range
+    partitioning samples its child to pick bounds, which would evaluate
+    the signature UDF twice if placed before the persist point."""
+    if n_partitions is None:
+        n_partitions = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return sigs.repartitionByRange(n_partitions, F.col("minhash")[0], F.col("doc_id"))
 
 
 def with_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:

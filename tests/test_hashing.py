@@ -97,3 +97,36 @@ def test_simhash_basic():
     sb = simhash_from_hashes(b)
     ham = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
     assert ham <= 12
+
+
+def test_batch_signatures_bit_match_per_doc():
+    """minhash_batch/simhash_batch (the Arrow-batch fast path) must be
+    bit-identical to the per-doc reference functions, including empty
+    docs at every position."""
+    import numpy as np
+
+    from dedup.hashing import (
+        minhash_batch,
+        minhash_from_hashes,
+        perm_consts,
+        simhash_batch,
+        simhash_from_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    consts = perm_consts(128, 42)
+    for _ in range(10):
+        sizes = rng.integers(0, 60, size=int(rng.integers(1, 10)))
+        arrs = [
+            rng.integers(-(2**63), 2**63 - 1, size=int(n), dtype=np.int64)
+            for n in sizes
+        ]
+        lengths = np.array([a.size for a in arrs])
+        flat = (
+            np.concatenate(arrs) if len(arrs) else np.empty(0, dtype=np.int64)
+        )
+        mb = minhash_batch(flat, lengths, consts)
+        sb = simhash_batch(flat, lengths)
+        for i, a in enumerate(arrs):
+            assert (mb[i] == minhash_from_hashes(a, consts)).all()
+            assert sb[i] == simhash_from_hashes(a)
