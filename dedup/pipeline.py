@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
-from dedup.candidates import cap_buckets, lsh_candidates, simhash_candidates
+from dedup.candidates import cap_buckets, simhash_candidates
+from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
 from dedup.ingest import exact_edges, representatives, to_docs
@@ -63,7 +64,8 @@ def build_edges(
     bands = with_bands(sigs, cfg)
     bands, _hot = cap_buckets(bands, cfg.bucket_cap)
 
-    cands = lsh_candidates(bands, cfg)
+    # salted path when cfg.salt_hot_thresh > 0, plain equi-join otherwise
+    cands = salted_lsh_candidates(bands, cfg)
     if use_simhash:
         cands = cands.union(simhash_candidates(sigs, cfg)).dropDuplicates(["src", "dst"])
 

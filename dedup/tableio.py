@@ -1,0 +1,167 @@
+"""Committed-table layer with snapshot/resume semantics (SURVEY.md §2
+A3/A4, BASELINE.json:6 "checkpointed to Iceberg so any stage can resume
+from the last committed snapshot").
+
+Two backends behind one interface:
+
+- **iceberg** — used when an ``iceberg-spark-runtime`` jar is on the JVM
+  classpath (the real-cluster path): ``df.writeTo(...).append()``,
+  time-travel reads via ``option("snapshot-id", ...)``.
+- **parquet fallback** — this sandbox has no Iceberg jar (SURVEY.md §0),
+  so commits are emulated: every write lands in a fresh immutable data
+  directory, and a JSON *manifest* naming the complete directory set of
+  the snapshot is published via atomic ``os.rename``. Readers list the
+  manifest, never the filesystem, so a crashed half-written data dir is
+  simply invisible — the same isolation story as Iceberg's metadata
+  pointer swap.
+
+Resume registry: ``(run_id, stage, config_hash) → (table, snapshot_id)``
+markers, also atomically renamed into place. A pipeline stage whose
+marker exists is skipped and its committed snapshot is read back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dedup.session import iceberg_available
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, backend: str | None = None):
+        self.spark = spark
+        self.root = root
+        if backend is None:
+            backend = "iceberg" if iceberg_available(spark) else "parquet"
+        self.backend = backend
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_dir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_manifests")
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    @staticmethod
+    def _atomic_write_json(path: str, payload: dict) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.rename(tmp, path)  # atomic on POSIX — the commit point
+
+    # -- snapshots ---------------------------------------------------------
+    def snapshots(self, table: str) -> list[dict]:
+        mdir = self._manifest_dir(table)
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith(".") or not name.endswith(".json"):
+                continue
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        return sorted(out, key=lambda s: s["snapshot_id"])
+
+    def latest(self, table: str) -> dict | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    # -- write -------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        sort_within: list[str] | None = None,
+    ) -> int:
+        """Write ``df`` as a new snapshot of ``table``; returns snapshot id.
+        ``sort_within``: optional sortWithinPartitions columns for file
+        clustering (H2) before the write."""
+        if self.backend == "iceberg":
+            (df.writeTo(table).append() if mode == "append" else df.writeTo(table).createOrReplace())
+            return -1  # iceberg assigns its own ids; not used locally
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(data_dir)
+        prev = self.latest(table)
+        snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+        dirs = [data_dir]
+        if mode == "append" and prev:
+            dirs = prev["dirs"] + dirs
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": prev["snapshot_id"] if prev else None,
+            "mode": mode,
+            "dirs": dirs,
+            "committed_at": time.time(),
+        }
+        self._atomic_write_json(
+            os.path.join(self._manifest_dir(table), f"{snapshot_id:012d}.json"),
+            manifest,
+        )
+        return snapshot_id
+
+    # -- read --------------------------------------------------------------
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read a committed snapshot (latest by default). Only manifest-
+        listed directories are scanned — uncommitted data is invisible."""
+        if self.backend == "iceberg":
+            r = self.spark.read.format("iceberg")
+            if snapshot_id is not None:
+                r = r.option("snapshot-id", str(snapshot_id))
+            return r.load(table)
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            match = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+            if not match:
+                raise FileNotFoundError(f"{table!r} has no snapshot {snapshot_id}")
+            snap = match[0]
+        return self.spark.read.parquet(*snap["dirs"])
+
+    def exists(self, table: str) -> bool:
+        return bool(self.snapshots(table))
+
+    # -- resume registry ----------------------------------------------------
+    def _marker_path(self, run_id: str, stage: str, config_hash: str) -> str:
+        return os.path.join(
+            self._commits_dir(), run_id, f"{stage}-{config_hash}.json"
+        )
+
+    def mark_stage(
+        self, run_id: str, stage: str, config_hash: str, table: str, snapshot_id: int
+    ) -> None:
+        self._atomic_write_json(
+            self._marker_path(run_id, stage, config_hash),
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "config_hash": config_hash,
+                "table": table,
+                "snapshot_id": snapshot_id,
+                "committed_at": time.time(),
+            },
+        )
+
+    def find_stage(self, run_id: str, stage: str, config_hash: str) -> dict | None:
+        p = self._marker_path(run_id, stage, config_hash)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
