@@ -1,0 +1,200 @@
+"""Structured-Streaming incremental ingest (SURVEY.md §2 J1-J4).
+
+The streaming story deliberately REUSES every batch operator through
+``foreachBatch`` (J4): a microbatch is just a small pages frame, so the
+same to_docs/signature/LSH/verify stages run against the committed
+TableIO state, and commits stay atomic through the same manifest
+protocol. The stream source is files (this sandbox ships no Kafka
+connector jar; on a cluster swap ``readStream.parquet`` for
+``readStream.format("kafka")`` — nothing downstream changes).
+
+Exactly-once story: Spark's checkpointLocation gives at-least-once
+foreachBatch invocations; the batch body is idempotent because (a) new
+docs are anti-joined against the committed url set and (b) edges are
+deduped on (src, dst) at cluster rebuild time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup.candidates import simhash_candidates
+from dedup.components import assign_clusters, connected_components
+from dedup.config import DedupConfig
+from dedup.ingest import exact_edges, representatives, to_docs
+from dedup.schema import PAGES
+from dedup.signatures import with_bands, with_shingles, with_signatures
+from dedup.skew import salted_lsh_candidates
+from dedup.tableio import TableIO
+from dedup.verify import verify_jaccard
+
+
+# -- J1: file-source stream ---------------------------------------------------
+
+
+def read_page_stream(
+    spark: SparkSession, staging_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(PAGES)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(staging_dir)
+
+
+# -- J2: watermarked exact-url dedup -----------------------------------------
+
+
+def watermark_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact url dedup within the event-time watermark on warc_ts; late
+    duplicates beyond the watermark are dropped by the engine."""
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+# -- J3: windowed ingest-rate metrics ----------------------------------------
+
+
+def ingest_rate(stream: DataFrame, window: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_pages",
+        )
+    )
+
+
+def session_rate(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window variant: bursts of captures separated by ≥ gap."""
+    return (
+        stream.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), F.col("lang"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("lang"),
+            "n_pages",
+        )
+    )
+
+
+# -- J4: incremental dedup via foreachBatch ----------------------------------
+
+
+def process_batch(
+    spark: SparkSession, tio: TableIO, cfg: DedupConfig, batch: DataFrame
+) -> dict:
+    """One microbatch of pages → committed docs/signatures/edges/clusters
+    deltas. Pure batch operators throughout; candidate generation is
+    restricted to pairs INVOLVING a new doc (new×new ∪ new×committed) so
+    per-batch work scales with the batch, not the corpus."""
+    batch_docs = to_docs(batch, cfg)
+    if tio.exists("docs"):
+        seen = tio.read("docs").select("url")
+        batch_docs = batch_docs.join(seen, "url", "left_anti")
+    batch_docs = batch_docs.persist()
+    n_new = batch_docs.count()
+    if n_new == 0:
+        batch_docs.unpersist()
+        return {"new_docs": 0, "new_edges": 0}
+
+    new_sh = with_shingles(representatives(batch_docs, cfg), cfg).persist()
+    new_sh.count()
+    new_sigs = with_signatures(new_sh, cfg)
+    new_bands = with_bands(new_sigs, cfg).withColumn("is_new", F.lit(True))
+
+    if tio.exists("signatures"):
+        old_sigs = tio.read("signatures")
+        all_bands = with_bands(old_sigs, cfg).withColumn(
+            "is_new", F.lit(False)
+        ).unionByName(new_bands)
+        all_sigs = old_sigs.unionByName(new_sigs)
+    else:
+        all_bands, all_sigs = new_bands, new_sigs
+
+    new_ids = batch_docs.select(F.col("doc_id").alias("src"))
+    cands = (
+        salted_lsh_candidates(all_bands.drop("is_new"), cfg)
+        .union(simhash_candidates(all_sigs, cfg))
+        .dropDuplicates(["src", "dst"])
+    )
+    # keep only pairs that touch a new doc (old×old pairs are already
+    # committed from earlier batches) — left-semi on either endpoint
+    touch_new = cands.join(new_ids, "src", "left_semi").unionByName(
+        cands.join(new_ids.withColumnRenamed("src", "dst"), "dst", "left_semi")
+    ).dropDuplicates(["src", "dst"])
+
+    # shingles for verification: new ones cached; old ones recomputed
+    # ONLY for docs that appear in a candidate pair (semi-join pruned)
+    if tio.exists("docs"):
+        old_docs = tio.read("docs")
+        need = touch_new.select(F.col("src").alias("doc_id")).unionByName(
+            touch_new.select(F.col("dst").alias("doc_id"))
+        ).distinct()
+        old_sh = with_shingles(
+            old_docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text"),
+            cfg,
+        )
+        all_sh = new_sh.unionByName(old_sh)
+        all_docs = old_docs.unionByName(batch_docs)
+    else:
+        all_sh, all_docs = new_sh, batch_docs
+
+    near = verify_jaccard(touch_new, all_sh, cfg)
+    exact_e = exact_edges(all_docs)
+    exact_touch = exact_e.join(new_ids, "src", "left_semi").unionByName(
+        exact_e.join(new_ids.withColumnRenamed("src", "dst"), "dst", "left_semi")
+    )
+    new_edges = exact_touch.unionByName(near).dropDuplicates(["src", "dst"])
+
+    tio.write(batch_docs, "docs", mode="append")
+    tio.write(new_sigs, "signatures", mode="append")
+    n_edges = new_edges.count()
+    tio.write(new_edges, "edges", mode="append")
+
+    # clusters: rebuild from the full committed edge set (append-only log
+    # → correct transitive closure even when a new doc bridges two old
+    # clusters); cluster_id stays the stable min-doc_id label
+    edges_all = tio.read("edges").dropDuplicates(["src", "dst"])
+    comp = connected_components(
+        edges_all.filter(F.col("kind").isin("exact", "near")), max_iter=cfg.max_cc_iter
+    )
+    clusters = assign_clusters(
+        tio.read("docs").select("doc_id", "url"), comp
+    ).select("doc_id", "url", "cluster_id")
+    tio.write(clusters, "clusters", mode="overwrite")
+
+    new_sh.unpersist()
+    batch_docs.unpersist()
+    return {"new_docs": n_new, "new_edges": n_edges}
+
+
+def incremental_dedup_query(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig,
+    trigger_available_now: bool = True,
+):
+    """J4 wiring: file stream → foreachBatch(process_batch) with a
+    checkpoint location for restart-safe progress tracking."""
+    tio = TableIO(spark, warehouse)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch(spark, tio, cfg, batch_df)
+
+    stream = read_page_stream(spark, staging_dir)
+    w = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,130 @@
+"""Streaming suite (SURVEY.md §5.2.7): watermark dedup, windowed rates,
+and the foreachBatch incremental pipeline ≡ one-shot batch run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.config import DEFAULT_CONFIG
+from dedup.schema import PAGES
+from dedup.streaming import (
+    incremental_dedup_query,
+    ingest_rate,
+    process_batch,
+    read_page_stream,
+    watermark_dedup,
+)
+from dedup.tableio import TableIO
+
+
+def _write_batch(spark, pdf, staging, name):
+    """Land one parquet file inside the flat staging dir (the file
+    stream source does not recurse into subdirectories)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(pdf, schema=PAGES).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "out"))
+    os.makedirs(staging, exist_ok=True)
+    part = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(staging, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    from dedup.datagen import gen_pages_pdf
+
+    pages, _ = gen_pages_pdf(300, seed=42)
+    return pages
+
+
+def test_watermark_dedup_drops_in_window_duplicates(spark, tmp_path, pages_pdf):
+    staging = str(tmp_path / "staging")
+    dup = pages_pdf.head(50)
+    both = __import__("pandas").concat([dup, dup])  # every url twice, same ts
+    _write_batch(spark, both, staging, "b0")
+
+    out = (
+        watermark_dedup(read_page_stream(spark, staging))
+        .select("url")
+        .writeStream.format("memory")
+        .queryName("wmdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    rows = spark.sql("SELECT count(*) c, count(DISTINCT url) d FROM wmdedup").collect()[0]
+    assert rows.c == rows.d == 50
+
+
+def test_ingest_rate_windows(spark, tmp_path, pages_pdf):
+    staging = str(tmp_path / "staging_rate")
+    _write_batch(spark, pages_pdf, staging, "b0")
+    q = (
+        ingest_rate(read_page_stream(spark, staging), window="1 hour")
+        .writeStream.format("memory")
+        .queryName("rate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("SELECT sum(n_pages) s FROM rate").collect()[0].s
+    # append mode only emits windows closed by the watermark; the last
+    # open window is withheld, so total ≤ input and > 0
+    assert total and 0 < total <= len(pages_pdf)
+
+
+def test_incremental_equals_oneshot(spark, tmp_path, pages_pdf):
+    """3 microbatches through process_batch ≡ one batch run (same final
+    cluster assignment), including cross-batch near-dup pairs."""
+    cfg = DEFAULT_CONFIG
+    n = len(pages_pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+
+    tio = TableIO(spark, str(tmp_path / "wh_inc"), backend="parquet")
+    for i in range(3):
+        b = spark.createDataFrame(pages_pdf.iloc[cuts[i] : cuts[i + 1]], schema=PAGES)
+        process_batch(spark, tio, cfg, b)
+
+    inc = {
+        (r.url, r.cluster_id)
+        for r in tio.read("clusters").select("url", "cluster_id").collect()
+    }
+
+    from dedup.pipeline import run_dedup
+
+    res = run_dedup(spark.createDataFrame(pages_pdf, schema=PAGES), cfg)
+    one = {
+        (r.url, r.cluster_id)
+        for r in res.clusters.select("url", "cluster_id").collect()
+    }
+    assert inc == one
+
+
+def test_incremental_query_plumbing(spark, tmp_path, pages_pdf):
+    """The actual readStream→foreachBatch→checkpoint wiring runs and
+    commits; a second availableNow pass adds nothing (idempotent)."""
+    staging = str(tmp_path / "staging_q")
+    _write_batch(spark, pages_pdf.head(100), staging, "b0")
+    wh = str(tmp_path / "wh_q")
+    ckpt = str(tmp_path / "ckpt_q")
+
+    q = incremental_dedup_query(spark, staging, wh, ckpt, DEFAULT_CONFIG)
+    q.awaitTermination(300)
+    tio = TableIO(spark, wh, backend="parquet")
+    n1 = tio.read("docs").count()
+    assert n1 == 100
+
+    # restart with no new files: checkpoint says nothing to do
+    q2 = incremental_dedup_query(spark, staging, wh, ckpt, DEFAULT_CONFIG)
+    q2.awaitTermination(300)
+    assert tio.read("docs").count() == n1
