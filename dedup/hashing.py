@@ -115,9 +115,11 @@ _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
 
 
-def mix64(z: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — a bijection on uint64, vectorized."""
-    z = z.astype(np.uint64, copy=True)
+def mix64(z: np.ndarray, copy: bool = True) -> np.ndarray:
+    """splitmix64 finalizer — a bijection on uint64, vectorized.
+    ``copy=False`` mutates ``z`` in place (only for fresh temporaries:
+    halves the memory traffic of the hot minhash loop)."""
+    z = z.astype(np.uint64, copy=copy)
     z ^= z >> np.uint64(30)
     z *= _MIX1
     z ^= z >> np.uint64(27)
@@ -187,7 +189,7 @@ def minhash_batch(flat: np.ndarray, lengths: np.ndarray, consts: np.ndarray) -> 
     starts_ne = starts[nonempty]
     for b0 in range(0, num_perm, _PERM_BLOCK):
         c = consts[b0 : b0 + _PERM_BLOCK]
-        z = mix64(h[None, :] + c[:, None])              # (block, total)
+        z = mix64(h[None, :] + c[:, None], copy=False)  # (block, total), fresh temp
         m = np.minimum.reduceat(z, starts_ne, axis=1)   # (block, n_nonempty)
         out[nonempty, b0 : b0 + len(c)] = m.T
     return out
