@@ -909,6 +909,185 @@ def q_cluster_report(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SURVEY §2 qkey-parity entries (names match the inventory table exactly)
+# ---------------------------------------------------------------------------
+
+
+@register("extract_text")  # rows-only (B3: versioned pure extractor over html)
+def q_extract_text(spark, sf_dir):
+    from dedup.datagen import gen_pages
+    from dedup.text import extract_text_udf
+
+    pages = gen_pages(spark, 200, seed=42, partitions=4)
+    out = pages.select(
+        "url",
+        extract_text_udf(F.col("html")).alias("xt"),
+        F.col("text").alias("provided"),
+    )
+    # the invariant itself: extractor output == stored text, per url
+    return out.select(
+        "url",
+        F.length("xt").cast("long").alias("n_chars"),
+        (F.col("xt") == F.col("provided")).alias("byte_identical"),
+    )
+
+
+@register("lsh_bucket_join")  # rows-only (D1: raw candidate pairs)
+def q_lsh_bucket_join(spark, sf_dir):
+    from dedup.candidates import lsh_candidates
+
+    cfg = DEFAULT_CONFIG
+    sigs = _cached("signatures", spark, sf_dir, cfg)
+    return lsh_candidates(with_bands(sigs, cfg), cfg)
+
+
+@register("salted_join")  # rows-only (D2: pair-set-identical to D1, tested)
+def q_salted_join(spark, sf_dir):
+    from dedup.skew import salted_lsh_candidates
+
+    cfg = DEFAULT_CONFIG.with_(salt_hot_thresh=8, n_salt=4)
+    sigs = _cached("signatures", spark, sf_dir, DEFAULT_CONFIG)
+    return salted_lsh_candidates(with_bands(sigs, cfg), cfg)
+
+
+# E2 under its SURVEY qkey: same implementation + oracle as ngram_jaccard
+REGISTRY["exact_jaccard"] = REGISTRY["ngram_jaccard"]
+
+
+@register("sort_within")  # rows-only (H2: file clustering before write)
+def q_sort_within(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").repartition(4, "lang")
+    return d.sortWithinPartitions("lang", "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@register("sink_table")  # rows-only (A3: committed write, manifest-isolated)
+def q_sink_table(spark, sf_dir):
+    import tempfile
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, tempfile.mkdtemp(prefix="qsink-"), backend="parquet")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tio.write(docs, "docs_q", mode="overwrite", sort_within=["doc_id"])
+    return tio.read("docs_q")
+
+
+@register("snapshot_read")  # rows-only (A4: time travel to an old snapshot)
+def q_snapshot_read(spark, sf_dir):
+    import tempfile
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, tempfile.mkdtemp(prefix="qsnap-"), backend="parquet")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    s0 = tio.write(docs.filter(F.col("lang") == "en"), "t", mode="append")
+    tio.write(docs.filter(F.col("lang") != "en"), "t", mode="append")
+    return tio.read("t", snapshot_id=s0)  # only the first commit's rows
+
+
+@register("conn_comp")  # rows-only (I1: components over the edge frame)
+def q_conn_comp(spark, sf_dir):
+    from dedup.components import connected_components
+    from dedup.pipeline import build_edges
+
+    cfg = DEFAULT_CONFIG
+    docs = docs_norm(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "norm_text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.sha2("norm_text", 256).alias("content_sha"),
+    )
+    edges, _s, _sh = build_edges(docs, cfg, persist=False)
+    return connected_components(edges, max_iter=cfg.max_cc_iter)
+
+
+@register("cluster_assign")  # rows-only (I2: every doc labeled, singletons too)
+def q_cluster_assign(spark, sf_dir):
+    return q_near_dup_clusters(spark, sf_dir)
+
+
+# -- J1-J4 streaming (rows-only; availableNow one-shot inside the call) ------
+
+
+def _staged_pages(spark, sf_dir) -> str:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="qstream-")
+    tmp = tempfile.mkdtemp()
+    documents_as_pages(spark, sf_dir).limit(200).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "o"))
+    part = _glob.glob(os.path.join(tmp, "o", "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(staging, "b0.parquet"))
+    return staging
+
+
+def _run_stream(df_stream, name: str):
+    q = (
+        df_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+@register("stream_ingest")  # rows-only (J1)
+def q_stream_ingest(spark, sf_dir):
+    from dedup.streaming import read_page_stream
+
+    staging = _staged_pages(spark, sf_dir)
+    _run_stream(
+        read_page_stream(spark, staging).select("url", "lang"), "q_stream_ingest"
+    )
+    return spark.table("q_stream_ingest")
+
+
+@register("watermark_dedup")  # rows-only (J2)
+def q_watermark_dedup(spark, sf_dir):
+    from dedup.streaming import read_page_stream, watermark_dedup
+
+    staging = _staged_pages(spark, sf_dir)
+    _run_stream(
+        watermark_dedup(read_page_stream(spark, staging)).select("url"),
+        "q_watermark_dedup",
+    )
+    return spark.table("q_watermark_dedup")
+
+
+@register("stream_windows")  # rows-only (J3)
+def q_stream_windows(spark, sf_dir):
+    from dedup.streaming import ingest_rate, read_page_stream
+
+    staging = _staged_pages(spark, sf_dir)
+    _run_stream(
+        ingest_rate(read_page_stream(spark, staging), window="1 hour"),
+        "q_stream_windows",
+    )
+    return spark.table("q_stream_windows")
+
+
+@register("foreach_batch_dedup")  # rows-only (J4: incremental ≡ batch, tested)
+def q_foreach_batch_dedup(spark, sf_dir):
+    import tempfile
+
+    from dedup.streaming import incremental_dedup_query
+    from dedup.tableio import TableIO
+
+    staging = _staged_pages(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="qfbd-wh-")
+    ckpt = tempfile.mkdtemp(prefix="qfbd-ck-")
+    q = incremental_dedup_query(spark, staging, wh, ckpt, DEFAULT_CONFIG)
+    q.awaitTermination(300)
+    return TableIO(spark, wh, backend="parquet").read("clusters")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
