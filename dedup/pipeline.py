@@ -85,7 +85,7 @@ def build_edges(
     if use_simhash:
         cands = cands.union(simhash_candidates(sigs, cfg)).dropDuplicates(["src", "dst"])
 
-    near = verify_jaccard(cands, shingles, cfg)
+    near = verify_jaccard(cands, shingles, cfg, signatures=sigs)
     e = exact_edges(docs).unionByName(near)
     if use_containment:
         sub = verify_containment(
