@@ -13,5 +13,23 @@ public MinHash/SimHash/LSH literature.
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG, HIGH_RECALL_CONFIG
 
-__all__ = ["DedupConfig", "DEFAULT_CONFIG", "HIGH_RECALL_CONFIG"]
+__all__ = [
+    "DedupConfig",
+    "DEFAULT_CONFIG",
+    "HIGH_RECALL_CONFIG",
+    "get_spark",
+    "run_dedup",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy: importing dedup must not drag in pyspark
+    if name == "get_spark":
+        from dedup.session import get_spark
+
+        return get_spark
+    if name == "run_dedup":
+        from dedup.pipeline import run_dedup
+
+        return run_dedup
+    raise AttributeError(name)

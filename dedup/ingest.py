@@ -21,6 +21,39 @@ from dedup.config import DedupConfig
 from dedup.text import extract_text_udf, normalize_text
 
 
+def read_pages_jdbc(
+    spark,
+    jdbc_url: str,
+    table: str,
+    partition_column: str = "id",
+    num_partitions: int = 64,
+    lower_bound: int = 0,
+    upper_bound: int = 1 << 40,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Reference-parity RDBMS ingest (SURVEY.md §2 A2, off by default).
+
+    The reference pulled rows through a single JDBC connection in a
+    driver-side ResultSet loop; the Spark replacement issues
+    ``num_partitions`` bounded range queries in parallel
+    (``partitionColumn``/bounds), so ingest scales with the cluster
+    instead of one socket. Untestable in this sandbox (no RDBMS or JDBC
+    driver jar) — exercised only when a driver jar is on the classpath.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("numPartitions", num_partitions)
+        .option("lowerBound", lower_bound)
+        .option("upperBound", upper_bound)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def asof_latest(pages: DataFrame) -> DataFrame:
     """One row per url: the latest capture by warc_ts (ties → the row is
     unique by construction of row_number). Spark has no native as-of
