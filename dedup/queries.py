@@ -1027,7 +1027,12 @@ def _staged_pages(spark, sf_dir) -> str:
     return staging
 
 
-def _run_stream(df_stream, name: str):
+def _run_stream(df_stream, name: str) -> str:
+    # unique sink name per invocation: re-registering a memory sink
+    # under the same queryName in one session is an error
+    import uuid
+
+    name = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (
         df_stream.writeStream.format("memory")
         .queryName(name)
@@ -1036,6 +1041,7 @@ def _run_stream(df_stream, name: str):
         .start()
     )
     q.awaitTermination(180)
+    return name
 
 
 @register("stream_ingest")  # rows-only (J1)
@@ -1043,10 +1049,10 @@ def q_stream_ingest(spark, sf_dir):
     from dedup.streaming import read_page_stream
 
     staging = _staged_pages(spark, sf_dir)
-    _run_stream(
+    name = _run_stream(
         read_page_stream(spark, staging).select("url", "lang"), "q_stream_ingest"
     )
-    return spark.table("q_stream_ingest")
+    return spark.table(name)
 
 
 @register("watermark_dedup")  # rows-only (J2)
@@ -1054,11 +1060,11 @@ def q_watermark_dedup(spark, sf_dir):
     from dedup.streaming import read_page_stream, watermark_dedup
 
     staging = _staged_pages(spark, sf_dir)
-    _run_stream(
+    name = _run_stream(
         watermark_dedup(read_page_stream(spark, staging)).select("url"),
         "q_watermark_dedup",
     )
-    return spark.table("q_watermark_dedup")
+    return spark.table(name)
 
 
 @register("stream_windows")  # rows-only (J3)
@@ -1066,11 +1072,11 @@ def q_stream_windows(spark, sf_dir):
     from dedup.streaming import ingest_rate, read_page_stream
 
     staging = _staged_pages(spark, sf_dir)
-    _run_stream(
+    name = _run_stream(
         ingest_rate(read_page_stream(spark, staging), window="1 hour"),
         "q_stream_windows",
     )
-    return spark.table("q_stream_windows")
+    return spark.table(name)
 
 
 @register("foreach_batch_dedup")  # rows-only (J4: incremental ≡ batch, tested)
