@@ -187,11 +187,23 @@ def minhash_batch(flat: np.ndarray, lengths: np.ndarray, consts: np.ndarray) -> 
     # exactly the right elements because empty docs contribute none.
     nonempty = lengths > 0
     starts_ne = starts[nonempty]
-    for b0 in range(0, num_perm, _PERM_BLOCK):
-        c = consts[b0 : b0 + _PERM_BLOCK]
-        z = mix64(h[None, :] + c[:, None], copy=False)  # (block, total), fresh temp
-        m = np.minimum.reduceat(z, starts_ne, axis=1)   # (block, n_nonempty)
-        out[nonempty, b0 : b0 + len(c)] = m.T
+    # one preallocated buffer pair per batch: every numpy op below uses
+    # ``out=`` so the hot loop allocates nothing (a naive chained
+    # expression was ~4× slower from temporary churn)
+    buf = np.empty_like(h)
+    tmp = np.empty_like(h)
+    for j in range(num_perm):
+        np.add(h, consts[j], out=buf)               # uint64 wraparound add
+        # splitmix64 finalizer, fully in place (bit-identical to mix64)
+        np.right_shift(buf, 30, out=tmp)
+        np.bitwise_xor(buf, tmp, out=buf)
+        np.multiply(buf, _MIX1, out=buf)
+        np.right_shift(buf, 27, out=tmp)
+        np.bitwise_xor(buf, tmp, out=buf)
+        np.multiply(buf, _MIX2, out=buf)
+        np.right_shift(buf, 31, out=tmp)
+        np.bitwise_xor(buf, tmp, out=buf)
+        out[nonempty, j] = np.minimum.reduceat(buf, starts_ne)
     return out
 
 
@@ -206,17 +218,22 @@ def simhash_batch(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         return out
     h = np.asarray(flat).astype(np.int64, copy=False).view(np.uint64)
     lengths = np.asarray(lengths, dtype=np.int64)
-    bits = np.unpackbits(
-        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    )  # (total, 64) uint8
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     nonempty = lengths > 0  # see minhash_batch for the empty-segment rule
-    counts = np.add.reduceat(bits, starts[nonempty], axis=0, dtype=np.int64)
-    votes = counts * 2 - lengths[nonempty][:, None]
-    words = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-        axis=1, dtype=np.uint64
-    )
+    starts_ne = starts[nonempty]
+    len_ne = lengths[nonempty]
+    # per-bit masked segment sums with preallocated buffers (no bit
+    # matrix materialized): 64 streaming passes beat any unpackbits +
+    # transposed-reduceat layout by avoiding the (total × 64) temp
+    buf = np.empty_like(h)
+    words = np.zeros(len_ne.shape[0], dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(64):
+        np.right_shift(h, np.uint64(b), out=buf)
+        np.bitwise_and(buf, one, out=buf)
+        cnt = np.add.reduceat(buf, starts_ne)      # uint64 segment sums
+        words |= (cnt.astype(np.int64) * 2 > len_ne).astype(np.uint64) << np.uint64(b)
     out[nonempty] = words.view(np.int64)
     return out
 
