@@ -72,26 +72,26 @@ def _cc_loop(e: DataFrame, max_iter: int, verbose: bool) -> DataFrame:
         stepped = labels.join(nbr, "id", "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            F.col("comp").alias("prev"),
         )
         # 2. pointer-doubling shortcut: comp := label(comp)
         parent = stepped.select(
             F.col("id").alias("comp"), F.col("comp").alias("parent_comp")
         )
+        # the pre-iteration label rides along into the checkpoint so the
+        # convergence check is a narrow scan of the checkpointed frame
+        # (no extra join+shuffle job per iteration)
         new_labels = (
             stepped.join(parent, "comp", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("parent_comp", "comp")).alias("comp"),
+                "prev",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("prev")).count()
+        labels = new_labels.select("id", "comp")
         if verbose:
             print(f"[cc] iter={it} changed={changed}")
         if changed == 0:
