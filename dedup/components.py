@@ -26,11 +26,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: below this edge count the distributed label loop is pure scheduling
+#: overhead (each iteration = 2 jobs); one task running the numpy
+#: union-find is both faster and identical in output. The loop remains
+#: the at-scale path — equivalence of the two is asserted in tests.
+SMALL_GRAPH_EDGES = 4_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, verbose: bool = False
+    edges: DataFrame,
+    max_iter: int = 25,
+    verbose: bool = False,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) → (doc_id, cluster_id) for every vertex that
-    appears in an edge. cluster_id = min doc_id in the component."""
+    appears in an edge. cluster_id = min doc_id in the component.
+
+    Scale-adaptive (AQE-style runtime decision): the symmetrized edge
+    frame is counted once anyway (to size the loop's shuffles); when it
+    is small enough to fit one task, a single ``mapInPandas`` pass runs
+    the numpy min-label union-find — same labels, ~10 Spark jobs fewer.
+    Above the threshold the iterative self-join loop (the 10^12-doc
+    design path) takes over."""
     e = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -43,6 +60,8 @@ def connected_components(
     # grows to ~one partition per 500k edges (bounded below by the
     # session default). Restored after the loop.
     n_edges = e.count()
+    if n_edges <= small_graph_edges:
+        return _cc_single_task(e)
     spark = edges.sparkSession
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = max(4, min(int(n_edges / 500_000) + 1, 1024))
@@ -53,6 +72,43 @@ def connected_components(
         return _cc_loop(e, max_iter, verbose)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_partitions)
+
+
+def _cc_single_task(e: DataFrame) -> DataFrame:
+    """Small-graph path: min-label propagation with pointer jumping in
+    numpy, one task. Labels equal the loop's by the same invariant
+    (labels only decrease toward the component min; dense ids come from
+    np.unique which sorts, so the min dense index IS the min doc_id)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64, copy=False))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64, copy=False))
+        if not srcs:
+            return
+        u_raw = np.concatenate(srcs)
+        v_raw = np.concatenate(dsts)
+        ids, flat = np.unique(np.concatenate([u_raw, v_raw]), return_inverse=True)
+        u, v = flat[: len(u_raw)], flat[len(u_raw) :]
+        label = np.arange(len(ids), dtype=np.int64)
+        while True:
+            prev = label.copy()
+            np.minimum.at(label, u, label[v])
+            np.minimum.at(label, v, label[u])
+            while True:  # pointer jumping to local fixpoint
+                nxt = label[label]
+                if (nxt == label).all():
+                    break
+                np.minimum(label, nxt, out=label)
+            if (label == prev).all():
+                break
+        yield pd.DataFrame({"doc_id": ids, "cluster_id": ids[label]})
+
+    return e.repartition(1).mapInPandas(run, schema="doc_id long, cluster_id long")
 
 
 def _cc_loop(e: DataFrame, max_iter: int, verbose: bool) -> DataFrame:

@@ -25,7 +25,7 @@ from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
 from dedup.ingest import exact_edges, representatives, to_docs
-from dedup.signatures import with_bands, with_shingles, with_signatures
+from dedup.signatures import with_bands, with_shingle_signatures
 from dedup.verify import verify_containment, verify_jaccard
 
 
@@ -60,23 +60,21 @@ def build_edges(
     unioned pre-verification; 'exact' edges bypass verification (they
     are definitionally sim=1)."""
     reps = representatives(docs, cfg)
-    shingles = with_shingles(reps, cfg)
+    # fused stage: shingle hashing + minhash + simhash in ONE Arrow
+    # crossing (signatures.with_shingle_signatures) — the JVM shingle
+    # expression + separate cache + separate UDF measured ~2× this cost
+    # and scaled poorly with cores (substring/array_distinct churn)
+    sig_sh = with_shingle_signatures(reps, cfg)
     if persist:
-        # deserialized cache + EAGER materialization: six downstream
-        # branches (bands a/b, simhash a/b, verify a/b) reference this
-        # frame inside one action — if the cache is still lazy when the
-        # action starts, concurrent stages each recompute it (measured
-        # 6× blowup). One count() up front removes that race.
-        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-        shingles.count()
-    sigs = with_signatures(shingles, cfg)
-    if persist:
-        # signatures are materialized via a parquet round-trip, NOT the
-        # in-memory columnar cache: building cached batches from
-        # array<long>(128) columns measured 11.8 s at 20k docs vs 8.7 s
-        # for compute+write+re-read (and re-reads are then 0.2 s, vs
-        # ~5 s per consumer if left lazy — four consumers downstream)
-        sigs = _spill(sigs, "signatures")
+        # one parquet round-trip materializes BOTH array frames for the
+        # six downstream consumers (bands, simhash a/b, verify mh a/b +
+        # sh a/b): the vectorized writer/reader is far cheaper than the
+        # columnar in-memory cache for wide array<long> columns, and a
+        # lazy frame here would be recomputed by every concurrent branch
+        # of the next action (measured 6×)
+        sig_sh = _spill(sig_sh, "sigsh")
+    shingles = sig_sh.select("doc_id", "shingles", "n_shingles")
+    sigs = sig_sh.select("doc_id", "minhash", "simhash", "n_shingles")
     bands = with_bands(sigs, cfg)
     bands, _hot = cap_buckets(bands, cfg.bucket_cap)
 

@@ -130,3 +130,90 @@ def test_batch_signatures_bit_match_per_doc():
         for i, a in enumerate(arrs):
             assert (mb[i] == minhash_from_hashes(a, consts)).all()
             assert sb[i] == simhash_from_hashes(a)
+
+
+def test_xxh64_matrix_parity():
+    """Vectorized fixed-width XXH64 == the scalar reference at every
+    width class (short path, 4-byte lane, 8-byte lanes, >=32 stripes)."""
+    import random
+
+    from dedup.hashing import xxh64, xxh64_matrix
+
+    rng = random.Random(0)
+    for L in [0, 1, 3, 4, 5, 7, 8, 9, 12, 16, 20, 31, 32, 33, 40, 64, 100]:
+        rows = [bytes(rng.randrange(256) for _ in range(L)) for _ in range(40)]
+        mat = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(40, L)
+        got = xxh64_matrix(mat)
+        want = np.array([xxh64(r) for r in rows], dtype=np.uint64)
+        assert (got == want).all(), f"xxh64_matrix parity failed at L={L}"
+
+
+def test_hash_char_kgrams_parity():
+    """Batched k-gram hashing == per-window scalar xxh64 over char
+    windows, distinct per doc — including unicode (multi-byte utf-8),
+    short docs (< k chars), and empty docs."""
+    from dedup.hashing import hash_char_kgrams, xxh64_str
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "ab",
+        "aaaaaaaaaaaa",           # heavy duplicate windows
+        "ünïcødé — ありがとう ✓ mixed ascii and cjk 日本語テキスト",
+        "abcde",
+        "x" * 200,
+        "päällekkäisyys päällekkäisyys",
+    ]
+    k = 5
+    data = b"".join(t.encode("utf-8") for t in texts)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(t.encode("utf-8")) for t in texts], out=offsets[1:])
+    flat, lengths = hash_char_kgrams(buf, offsets, k)
+    pos = 0
+    for t, n in zip(texts, lengths):
+        got = set(int(v) for v in flat[pos : pos + n].view(np.int64))
+        if len(t) >= k:
+            windows = {t[i : i + k] for i in range(len(t) - k + 1)}
+        else:
+            windows = {t}
+        want = {xxh64_str(w) for w in windows}
+        assert got == want, f"k-gram parity failed for {t!r}"
+        # ascending order within doc (deterministic layout)
+        seg = flat[pos : pos + n]
+        assert (np.sort(seg) == seg).all()
+        pos += n
+    assert pos == len(flat)
+
+
+def test_fused_signature_stage_matches_jvm_path(spark):
+    """with_shingle_signatures (numpy shingling, fused) must produce the
+    same shingle SETS, identical minhash and simhash as the JVM
+    shingles_expr → with_signatures path."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.datagen import gen_pages
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import (
+        with_shingle_signatures,
+        with_shingles,
+        with_signatures,
+    )
+
+    reps = representatives(to_docs(gen_pages(spark, 300, seed=9), cfg), cfg)
+    fused = {
+        r["doc_id"]: r
+        for r in with_shingle_signatures(reps, cfg).collect()
+    }
+    jvm = {
+        r["doc_id"]: r
+        for r in with_signatures(with_shingles(reps, cfg), cfg).collect()
+    }
+    jvm_sh = {
+        r["doc_id"]: r for r in with_shingles(reps, cfg).collect()
+    }
+    assert set(fused) == set(jvm) and len(fused) > 0
+    for doc_id, f in fused.items():
+        assert sorted(f["shingles"]) == sorted(jvm_sh[doc_id]["shingles"])
+        assert f["n_shingles"] == jvm_sh[doc_id]["n_shingles"]
+        assert f["minhash"] == jvm[doc_id]["minhash"]
+        assert f["simhash"] == jvm[doc_id]["simhash"]

@@ -106,3 +106,35 @@ def test_no_per_row_python_in_plan(result):
     must contain no row-at-a-time BatchEvalPython node."""
     plan = result.edges._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_cc_single_task_equals_loop(spark):
+    """The small-graph numpy union-find and the iterative self-join loop
+    must emit identical (doc_id, cluster_id) sets — on a random graph
+    and on a long chain (the pointer-jumping worst case)."""
+    import random
+
+    from dedup.components import connected_components
+
+    random.seed(5)
+    rand_edges = [
+        (random.randrange(200), random.randrange(200)) for _ in range(300)
+    ]
+    chain = [(i, i + 1) for i in range(120)]
+    for edges in (rand_edges, chain):
+        pairs = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        single = {
+            (r.doc_id, r.cluster_id) for r in connected_components(df).collect()
+        }
+        loop = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(df, small_graph_edges=0).collect()
+        }
+        assert single == loop and len(single) > 0
+        # labeling rule: cluster_id = min member id of the component
+        by_cluster = {}
+        for doc, c in single:
+            by_cluster.setdefault(c, []).append(doc)
+        for c, members in by_cluster.items():
+            assert c == min(members)
