@@ -78,10 +78,17 @@ def measure(cores: int, path: str, n_docs: int, warm_runs: int = 2) -> dict:
     run is the closest estimate of the uncontended cost."""
     from dedup.session import get_spark
 
+    # IDENTICAL shuffle partitioning at every parallelism level: the
+    # partition count is a property of the JOB (sized to the data), not
+    # of the cluster — exactly like a real N vs 4N executor comparison,
+    # where the same shuffle files are just consumed by more slots. A
+    # cores-derived count both confounds the comparison (different task
+    # sizes) and makes low-core tasks so large they hit GC/spill
+    # pressure (measured: 8-partition shuffles at 500k docs thrash).
     spark = get_spark(
         app_name=f"bench-scaling-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=64,
     )
     load0 = _loadavg()
     cold_s, n_clusters = run_once(spark, path)   # warm-up: codegen, workers

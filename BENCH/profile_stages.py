@@ -30,7 +30,7 @@ def profile(cores: int, path: str) -> dict:
     from dedup.pipeline import _spill
     from dedup.session import get_spark
     from dedup.signatures import with_bands, with_shingle_signatures
-    from dedup.verify import verify_jaccard
+    from dedup.verify import verify_jaccard_lazy
 
     spark = get_spark(
         app_name=f"profile-{cores}",
@@ -60,10 +60,8 @@ def profile(cores: int, path: str) -> dict:
     tick("docs_persist")
 
     reps = representatives(docs, cfg)
-    sig_sh = _spill(with_shingle_signatures(reps, cfg), "profile-sigsh")
+    sigs = _spill(with_shingle_signatures(reps, cfg), "profile-sigsh")
     tick("fused_signatures_spill")
-    sh = sig_sh.select("doc_id", "shingles", "n_shingles")
-    sigs = sig_sh.select("doc_id", "minhash", "simhash", "n_shingles")
 
     bands = with_bands(sigs, cfg)
     cands = salted_lsh_candidates(bands, cfg)
@@ -71,7 +69,7 @@ def profile(cores: int, path: str) -> dict:
     n_cands = cands.count()
     tick("candidates_count")
 
-    near = verify_jaccard(cands, sh, cfg, signatures=sigs)
+    near = verify_jaccard_lazy(cands, docs, cfg, signatures=sigs)
     edges = (
         exact_edges(docs)
         .unionByName(near)

@@ -305,6 +305,11 @@ def minhash_from_hashes(hashes: np.ndarray, consts: np.ndarray) -> np.ndarray:
 
 _PERM_BLOCK = 16  # perms per block: bounds the (block × total_shingles) matrix
 
+#: doc-group block size (elements) for the cache-blocked batch kernels:
+#: block + two scratch buffers ≈ 768 KB — L2-resident on this class of
+#: core, large enough that reduceat call overhead is negligible
+_BATCH_BLOCK = 32768
+
 
 def minhash_batch(flat: np.ndarray, lengths: np.ndarray, consts: np.ndarray) -> np.ndarray:
     """Batched MinHash: signatures for MANY docs in one numpy pass.
@@ -331,24 +336,45 @@ def minhash_batch(flat: np.ndarray, lengths: np.ndarray, consts: np.ndarray) -> 
     # truncate the previous segment); consecutive non-empty starts span
     # exactly the right elements because empty docs contribute none.
     nonempty = lengths > 0
-    starts_ne = starts[nonempty]
-    # one preallocated buffer pair per batch: every numpy op below uses
-    # ``out=`` so the hot loop allocates nothing (a naive chained
-    # expression was ~4× slower from temporary churn)
-    buf = np.empty_like(h)
-    tmp = np.empty_like(h)
-    for j in range(num_perm):
-        np.add(h, consts[j], out=buf)               # uint64 wraparound add
-        # splitmix64 finalizer, fully in place (bit-identical to mix64)
-        np.right_shift(buf, 30, out=tmp)
-        np.bitwise_xor(buf, tmp, out=buf)
-        np.multiply(buf, _MIX1, out=buf)
-        np.right_shift(buf, 27, out=tmp)
-        np.bitwise_xor(buf, tmp, out=buf)
-        np.multiply(buf, _MIX2, out=buf)
-        np.right_shift(buf, 31, out=tmp)
-        np.bitwise_xor(buf, tmp, out=buf)
-        out[nonempty, j] = np.minimum.reduceat(buf, starts_ne)
+    ne_rows = np.flatnonzero(nonempty)
+    starts_ne = starts[ne_rows]
+    ends_ne = starts_ne + lengths[ne_rows]
+    # CACHE BLOCKING, the load-bearing layout decision: a perm-outer loop
+    # streams the whole flat array from DRAM once per permutation
+    # (128 × data — measured memory-bandwidth-bound: ADDING cores made it
+    # slower). Instead, group whole docs into ~_SHINGLE_CHUNK-element
+    # blocks and run all 128 perms while the block is L2-resident; DRAM
+    # traffic drops from 128× to ~1× the data. Same ops, same order per
+    # segment → bit-identical results (asserted in tests).
+    buf = np.empty(_BATCH_BLOCK * 2, dtype=np.uint64)
+    tmp = np.empty(_BATCH_BLOCK * 2, dtype=np.uint64)
+    g0 = 0
+    n_ne = len(ne_rows)
+    while g0 < n_ne:
+        g1 = g0 + 1
+        blk_end = starts_ne[g0] + _BATCH_BLOCK
+        while g1 < n_ne and ends_ne[g1 - 1] < blk_end:
+            g1 += 1
+        lo, hi = starts_ne[g0], ends_ne[g1 - 1]
+        block = h[lo:hi]
+        m = hi - lo
+        local_starts = starts_ne[g0:g1] - lo
+        rows = ne_rows[g0:g1]
+        b = buf[:m] if m <= buf.size else np.empty(m, dtype=np.uint64)
+        t = tmp[:m] if m <= tmp.size else np.empty(m, dtype=np.uint64)
+        for j in range(num_perm):
+            np.add(block, consts[j], out=b)          # uint64 wraparound add
+            # splitmix64 finalizer, fully in place (bit-identical to mix64)
+            np.right_shift(b, 30, out=t)
+            np.bitwise_xor(b, t, out=b)
+            np.multiply(b, _MIX1, out=b)
+            np.right_shift(b, 27, out=t)
+            np.bitwise_xor(b, t, out=b)
+            np.multiply(b, _MIX2, out=b)
+            np.right_shift(b, 31, out=t)
+            np.bitwise_xor(b, t, out=b)
+            out[rows, j] = np.minimum.reduceat(b, local_starts)
+        g0 = g1
     return out
 
 
@@ -366,20 +392,39 @@ def simhash_batch(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     nonempty = lengths > 0  # see minhash_batch for the empty-segment rule
-    starts_ne = starts[nonempty]
-    len_ne = lengths[nonempty]
-    # per-bit masked segment sums with preallocated buffers (no bit
-    # matrix materialized): 64 streaming passes beat any unpackbits +
-    # transposed-reduceat layout by avoiding the (total × 64) temp
-    buf = np.empty_like(h)
-    words = np.zeros(len_ne.shape[0], dtype=np.uint64)
+    ne_rows = np.flatnonzero(nonempty)
+    starts_ne = starts[ne_rows]
+    len_ne = lengths[ne_rows]
+    ends_ne = starts_ne + len_ne
+    # per-bit masked segment sums, cache-blocked by doc group exactly as
+    # in minhash_batch: 64 whole-array passes were memory-bandwidth-bound;
+    # running all 64 bits while a block is L2-resident reads the data
+    # from DRAM once
+    buf = np.empty(_BATCH_BLOCK * 2, dtype=np.uint64)
     one = np.uint64(1)
-    for b in range(64):
-        np.right_shift(h, np.uint64(b), out=buf)
-        np.bitwise_and(buf, one, out=buf)
-        cnt = np.add.reduceat(buf, starts_ne)      # uint64 segment sums
-        words |= (cnt.astype(np.int64) * 2 > len_ne).astype(np.uint64) << np.uint64(b)
-    out[nonempty] = words.view(np.int64)
+    n_ne = len(ne_rows)
+    words_all = np.zeros(n_ne, dtype=np.uint64)
+    g0 = 0
+    while g0 < n_ne:
+        g1 = g0 + 1
+        blk_end = starts_ne[g0] + _BATCH_BLOCK
+        while g1 < n_ne and ends_ne[g1 - 1] < blk_end:
+            g1 += 1
+        lo, hi = starts_ne[g0], ends_ne[g1 - 1]
+        block = h[lo:hi]
+        m = hi - lo
+        local_starts = starts_ne[g0:g1] - lo
+        seg_len = len_ne[g0:g1]
+        b_buf = buf[:m] if m <= buf.size else np.empty(m, dtype=np.uint64)
+        words = np.zeros(g1 - g0, dtype=np.uint64)
+        for b in range(64):
+            np.right_shift(block, np.uint64(b), out=b_buf)
+            np.bitwise_and(b_buf, one, out=b_buf)
+            cnt = np.add.reduceat(b_buf, local_starts)  # uint64 segment sums
+            words |= (cnt.astype(np.int64) * 2 > seg_len).astype(np.uint64) << np.uint64(b)
+        words_all[g0:g1] = words
+        g0 = g1
+    out[ne_rows] = words_all.view(np.int64)
     return out
 
 

@@ -25,8 +25,8 @@ from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
 from dedup.ingest import exact_edges, representatives, to_docs
-from dedup.signatures import with_bands, with_shingle_signatures
-from dedup.verify import verify_containment, verify_jaccard
+from dedup.signatures import with_bands, with_shingle_signatures, with_shingles_np
+from dedup.verify import verify_containment, verify_jaccard_lazy
 
 
 def _spill(df: DataFrame, name: str) -> DataFrame:
@@ -73,8 +73,7 @@ def build_edges(
         # lazy frame here would be recomputed by every concurrent branch
         # of the next action (measured 6×)
         sig_sh = _spill(sig_sh, "sigsh")
-    shingles = sig_sh.select("doc_id", "shingles", "n_shingles")
-    sigs = sig_sh.select("doc_id", "minhash", "simhash", "n_shingles")
+    sigs = sig_sh
     bands = with_bands(sigs, cfg)
     bands, _hot = cap_buckets(bands, cfg.bucket_cap)
 
@@ -83,7 +82,11 @@ def build_edges(
     if use_simhash:
         cands = cands.union(simhash_candidates(sigs, cfg)).dropDuplicates(["src", "dst"])
 
-    near = verify_jaccard(cands, shingles, cfg, signatures=sigs)
+    # exact verification recomputes shingles only for est-passing docs
+    # (with_shingles_np) — the full shingle table is never materialized
+    near = verify_jaccard_lazy(cands, docs, cfg, signatures=sigs)
+    # lazy shingles frame, API compat for callers that want it
+    shingles = with_shingles_np(reps, cfg)
     e = exact_edges(docs).unionByName(near)
     if use_containment:
         sub = verify_containment(

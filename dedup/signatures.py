@@ -102,9 +102,71 @@ def with_signatures(shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def with_shingles_np(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Numpy twin of ``with_shingles`` (same distinct-k-gram semantics,
+    bit-identical hashes, ascending order): one ``mapInArrow`` pass over
+    (doc_id, norm_text) → (doc_id, shingles, n_shingles). Used to
+    RECOMPUTE shingles for the small set of docs that reach exact
+    verification — at scale that is far cheaper than materializing and
+    shuffling the full shingle table (arrays dominate the signature
+    spill ~4:1 and were scanned+shuffled twice by the verify joins)."""
+    import pyarrow as pa
+
+    from dedup.hashing import hash_char_kgrams
+
+    k = cfg.k
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64(), False),
+            pa.field("shingles", pa.list_(pa.int64()), False),
+            pa.field("n_shingles", pa.int32(), False),
+        ]
+    )
+
+    def run(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            txt = rb.column(rb.schema.get_field_index("norm_text"))
+            if txt.null_count:
+                txt = pa.compute.fill_null(txt, "")
+            off_dtype = "<i8" if pa.types.is_large_string(txt.type) else "<i4"
+            bufs = txt.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+                txt.offset : txt.offset + n + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            flat_u64, lengths = hash_char_kgrams(data, offsets, k)
+            sh_off = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lengths, out=sh_off[1:])
+            sh_list = pa.ListArray.from_arrays(
+                pa.array(sh_off), pa.array(flat_u64.view(np.int64))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    sh_list,
+                    pa.array(lengths.astype(np.int32)),
+                ],
+                schema=out_schema,
+            )
+
+    return reps.select("doc_id", "norm_text").mapInArrow(
+        run, schema="doc_id long, shingles array<long>, n_shingles int"
+    )
+
+
 def with_shingle_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Fused signature stage: reps(doc_id, norm_text) → (doc_id, shingles,
-    minhash, simhash, n_shingles) in ONE ``mapInArrow`` pass.
+    """Fused signature stage: reps(doc_id, norm_text) → (doc_id, minhash,
+    simhash, n_shingles) in ONE ``mapInArrow`` pass. Shingle arrays are
+    deliberately NOT emitted: only exact verification needs them, for a
+    small fraction of docs, and ``with_shingles_np`` recomputes those
+    on demand (cheaper than materializing + shuffling the full table).
 
     This is the pipeline's hot path. The per-stage split (JVM shingle
     expression → cache → Arrow crossing → minhash UDF) measured ~430
@@ -123,7 +185,6 @@ def with_shingle_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
     out_schema = pa.schema(
         [
             pa.field("doc_id", pa.int64(), False),
-            pa.field("shingles", pa.list_(pa.int64()), False),
             pa.field("minhash", pa.list_(pa.int64()), False),
             pa.field("simhash", pa.int64(), False),
             pa.field("n_shingles", pa.int32(), False),
@@ -153,9 +214,6 @@ def with_shingle_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             flat = flat_u64.view(np.int64)
             mh = minhash_batch(flat, lengths, consts).view(np.int64)
             simh = simhash_batch(flat, lengths)
-            sh_off = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(lengths, out=sh_off[1:])
-            sh_list = pa.ListArray.from_arrays(pa.array(sh_off), pa.array(flat))
             mh_list = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
                 pa.array(mh.reshape(-1)),
@@ -163,7 +221,6 @@ def with_shingle_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(rb.schema.get_field_index("doc_id")),
-                    sh_list,
                     mh_list,
                     pa.array(simh),
                     pa.array(lengths.astype(np.int32)),
@@ -173,10 +230,7 @@ def with_shingle_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     return reps.select("doc_id", "norm_text").mapInArrow(
         run,
-        schema=(
-            "doc_id long, shingles array<long>, minhash array<long>,"
-            " simhash long, n_shingles int"
-        ),
+        schema="doc_id long, minhash array<long>, simhash long, n_shingles int",
     )
 
 

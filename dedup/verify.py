@@ -100,6 +100,55 @@ def verify_jaccard(
     )
 
 
+def verify_jaccard_lazy(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    signatures: DataFrame,
+) -> DataFrame:
+    """Candidate pairs → verified 'near' edges, recomputing shingles only
+    for docs that survive the MinHash-estimate pre-filter.
+
+    The scale rationale: shingle arrays are ~4× the signature spill and
+    were scanned + shuffled TWICE by the exact-Jaccard joins — the
+    dominant non-scaling (memory-bandwidth-bound) cost of the verify
+    stage. After the est filter only a small fraction of docs is still
+    in play; recomputing their shingles (``with_shingles_np``, bit-
+    identical) moves megabytes instead of gigabytes. The est-passing
+    pair frame is localCheckpoint'ed — it is tiny and feeds three
+    branches (id extraction + both sides of the array join), which
+    would otherwise re-run the wide minhash join."""
+    from dedup.signatures import with_shingles_np
+
+    withmh = join_pair_arrays(pairs, signatures, "minhash", "mh_a", "mh_b")
+    passed = (
+        withmh.withColumn("est_jacc", est_jaccard_expr(num_perm=cfg.num_perm))
+        .filter(F.col("est_jacc") >= est_filter_floor(cfg))
+        .select("src", "dst", "est_jacc")
+        .localCheckpoint(eager=True)
+    )
+    need = (
+        passed.select(F.col("src").alias("doc_id"))
+        .union(passed.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    sh_needed = with_shingles_np(
+        docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text"), cfg
+    )
+    withsh = join_pair_arrays(passed, sh_needed, "shingles", "sh_a", "sh_b")
+    return (
+        withsh.withColumn("sim", exact_jaccard_expr())
+        .filter(F.col("sim") >= cfg.jaccard_thresh)
+        .select(
+            "src",
+            "dst",
+            "est_jacc",
+            "sim",
+            F.lit("near").alias("kind"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # E3: LCS ratio (reference-parity matcher) — vectorized pandas UDF
 # ---------------------------------------------------------------------------

@@ -187,15 +187,17 @@ def test_hash_char_kgrams_parity():
 
 
 def test_fused_signature_stage_matches_jvm_path(spark):
-    """with_shingle_signatures (numpy shingling, fused) must produce the
-    same shingle SETS, identical minhash and simhash as the JVM
-    shingles_expr → with_signatures path."""
+    """with_shingle_signatures (numpy shingling, fused) must produce
+    identical minhash/simhash as the JVM shingles_expr → with_signatures
+    path, and with_shingles_np the same shingle SETS as the JVM
+    expression."""
     from dedup.config import DEFAULT_CONFIG as cfg
     from dedup.datagen import gen_pages
     from dedup.ingest import representatives, to_docs
     from dedup.signatures import (
         with_shingle_signatures,
         with_shingles,
+        with_shingles_np,
         with_signatures,
     )
 
@@ -208,12 +210,17 @@ def test_fused_signature_stage_matches_jvm_path(spark):
         r["doc_id"]: r
         for r in with_signatures(with_shingles(reps, cfg), cfg).collect()
     }
+    np_sh = {r["doc_id"]: r for r in with_shingles_np(reps, cfg).collect()}
     jvm_sh = {
         r["doc_id"]: r for r in with_shingles(reps, cfg).collect()
     }
     assert set(fused) == set(jvm) and len(fused) > 0
+    assert set(np_sh) == set(jvm_sh)
     for doc_id, f in fused.items():
-        assert sorted(f["shingles"]) == sorted(jvm_sh[doc_id]["shingles"])
+        assert sorted(np_sh[doc_id]["shingles"]) == sorted(
+            jvm_sh[doc_id]["shingles"]
+        )
+        assert np_sh[doc_id]["n_shingles"] == jvm_sh[doc_id]["n_shingles"]
         assert f["n_shingles"] == jvm_sh[doc_id]["n_shingles"]
         assert f["minhash"] == jvm[doc_id]["minhash"]
         assert f["simhash"] == jvm[doc_id]["simhash"]
