@@ -48,12 +48,15 @@ def connected_components(
     the numpy min-label union-find — same labels, ~10 Spark jobs fewer.
     Above the threshold the iterative self-join loop (the 10^12-doc
     design path) takes over."""
-    e = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from dedup.pipeline import job_desc
+
+    with job_desc(edges.sparkSession, "dedup: verify + edge symmetrize"):
+        e = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     # size the iteration's shuffles to the edge frame, not to the global
     # shuffle.partitions: each iteration is several jobs, and on a small
     # frontier wide shuffles are pure scheduling overhead; at scale this

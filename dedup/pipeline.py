@@ -14,6 +14,9 @@ commits, lineage, and resume on top for the spark-submit path.
 
 from __future__ import annotations
 
+import atexit
+import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -29,16 +32,52 @@ from dedup.signatures import with_bands, with_shingle_signatures, with_shingles_
 from dedup.verify import verify_containment, verify_jaccard_lazy
 
 
+#: spill dirs created by this process — removed at interpreter exit so
+#: repeated runs don't fill the (RAM-backed) scratch space
+_SPILL_DIRS: list[str] = []
+
+
+def _cleanup_spills() -> None:
+    import shutil
+
+    for d in _SPILL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_spills)
+
+
+@contextmanager
+def job_desc(spark, desc: str):
+    """Label the Spark jobs of an eager action (profiling / Spark UI
+    attribution; AQE sub-jobs inherit the description)."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
+
+
 def _spill(df: DataFrame, name: str) -> DataFrame:
     """Materialize via a parquet round-trip in a scratch dir (vectorized
     writer/reader — far cheaper than the columnar in-memory cache for
-    wide array columns). Scratch lives under the OS temp dir; at real
-    scale this is a TableIO commit instead (jobs/run_dedup.py)."""
+    wide array columns). Scratch is RAM-backed when available (see
+    session.scratch_dir — the sandbox's single shared disk is not the
+    at-scale model); at real scale this is a TableIO commit instead
+    (jobs/run_dedup.py)."""
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=f"dedup-spill-{name}-")
-    df.write.mode("overwrite").parquet(d)
-    return df.sparkSession.read.parquet(d)
+    from dedup.session import scratch_dir
+
+    base = scratch_dir()
+    os.makedirs(base, exist_ok=True)
+    d = tempfile.mkdtemp(prefix=f"dedup-spill-{name}-", dir=base)
+    _SPILL_DIRS.append(d)
+    with job_desc(df.sparkSession, f"dedup: spill {name}"):
+        df.write.mode("overwrite").parquet(d)
+        return df.sparkSession.read.parquet(d)
 
 
 @dataclass
@@ -113,14 +152,16 @@ def run_dedup(
     docs = to_docs(pages, cfg, recompute_text=recompute_text).persist(
         StorageLevel.MEMORY_AND_DISK_DESER
     )
-    docs.count()  # eager — see build_edges
+    with job_desc(pages.sparkSession, "dedup: ingest docs persist"):
+        docs.count()  # eager — see build_edges
     edges, sigs, _sh = build_edges(
         docs, cfg, use_simhash=use_simhash, use_containment=use_containment
     )
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    comp = connected_components(
-        edges.filter(F.col("kind").isin(*edge_kinds)), max_iter=cfg.max_cc_iter
-    )
+    with job_desc(pages.sparkSession, "dedup: verify edges + cc"):
+        comp = connected_components(
+            edges.filter(F.col("kind").isin(*edge_kinds)), max_iter=cfg.max_cc_iter
+        )
     clusters = assign_clusters(docs, comp)
     return DedupResult(docs=docs, signatures=sigs, edges=edges, clusters=clusters)
 
