@@ -65,6 +65,13 @@ def run_once(spark, path: str) -> tuple[float, int]:
         except Exception:
             pass
     spark.catalog.clearCache()
+    # shuffle files / checkpoint blocks of finished jobs are only
+    # reclaimed when the ContextCleaner GCs their dependencies — with a
+    # 48g heap that may never happen between runs, and on a RAM-backed
+    # local dir the accumulation (≈7 GB/run) becomes memory pressure
+    # that poisons later measurements. Nudge a full JVM GC.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     return dt, n_clusters
 
 
@@ -111,6 +118,10 @@ def measure(cores: int, path: str, n_docs: int, warm_runs: int = 2) -> dict:
     }
 
 
+def _measure_child(q, cores: int, path: str, n_docs: int, warm_runs: int) -> None:
+    q.put(measure(cores, path, n_docs, warm_runs))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=100_000)
@@ -123,10 +134,22 @@ def main() -> None:
     args = ap.parse_args()
 
     path = make_input(args.n_docs)
-    results = [
-        measure(int(c), path, args.n_docs, args.warm_runs)
-        for c in args.cores.split(",")
-    ]
+    # each parallelism level in a fresh subprocess: stopping/starting
+    # SparkSessions in one python process leaves stale Python-accumulator
+    # sockets (ERROR DAGScheduler ... Broken pipe spam) and shared-JVM
+    # state that contaminates the next level's measurement
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    results = []
+    for c in args.cores.split(","):
+        q = ctx.Queue()
+        p = ctx.Process(
+            target=_measure_child, args=(q, int(c), path, args.n_docs, args.warm_runs)
+        )
+        p.start()
+        results.append(q.get())
+        p.join()
 
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]

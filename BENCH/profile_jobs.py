@@ -52,6 +52,8 @@ def run(cores: int, path: str, evdir: str) -> tuple[float, float]:
         return dt
 
     once()  # warm-up
+    spark.sparkContext._jvm.System.gc()  # reclaim warm-up shuffle files
+    time.sleep(2)
     t_mark = time.time() * 1000  # ms epoch: jobs after this are the timed run
     warm = once()
     spark.stop()
