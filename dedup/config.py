@@ -45,6 +45,17 @@ class DedupConfig:
 
     # --- verification ---
     jaccard_thresh: float = 0.8   # verified-edge threshold on EXACT shingle Jaccard
+    #: MinHash positions used by the pre-verification estimate filter.
+    #: A PREFIX of the signature is itself an unbiased MinHash estimator;
+    #: the filter floor adapts to its width (thresh − 4.5σ, σ =
+    #: binomial sd at that width), keeping the per-true-pair miss
+    #: probability ≈ 1e-6 — inside the 0.99-recall budget — while the
+    #: candidate-pair join ships 4× fewer signature bytes (the largest
+    #: shuffle of the pipeline at scale). Set = num_perm to use the full
+    #: signature. Survivors are decided by EXACT shingle Jaccard either
+    #: way; this knob never changes which pairs pass verification, only
+    #: which non-pairs are discarded early.
+    est_prefilter_perms: int = 32
 
     # --- SimHash secondary detector ---
     simhash_bits: int = 64

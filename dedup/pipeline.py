@@ -28,7 +28,12 @@ from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
 from dedup.ingest import exact_edges, representatives, to_docs
-from dedup.signatures import with_bands, with_shingle_signatures, with_shingles_np
+from dedup.signatures import (
+    with_bands,
+    with_shingle_signatures,
+    with_shingles_np,
+    with_slim_signatures,
+)
 from dedup.verify import verify_containment, verify_jaccard_lazy
 
 
@@ -83,6 +88,10 @@ def _spill(df: DataFrame, name: str) -> DataFrame:
 @dataclass
 class DedupResult:
     docs: DataFrame
+    #: pipeline signature spill — slimmed for scale: (doc_id,
+    #: band_hashes array<long>(bands), mh_pre array<long>(prefilter
+    #: perms), simhash, n_shingles). The full-width minhash frame is
+    #: `signatures.with_shingle_signatures(reps, cfg)` when needed.
     signatures: DataFrame
     edges: DataFrame
     clusters: DataFrame  # docs + cluster_id (singletons included)
@@ -103,15 +112,21 @@ def build_edges(
     # crossing (signatures.with_shingle_signatures) — the JVM shingle
     # expression + separate cache + separate UDF measured ~2× this cost
     # and scaled poorly with cores (substring/array_distinct churn)
-    sig_sh = with_shingle_signatures(reps, cfg)
     if persist:
-        # one parquet round-trip materializes BOTH array frames for the
-        # six downstream consumers (bands, simhash a/b, verify mh a/b +
-        # sh a/b): the vectorized writer/reader is far cheaper than the
-        # columnar in-memory cache for wide array<long> columns, and a
-        # lazy frame here would be recomputed by every concurrent branch
-        # of the next action (measured 6×)
-        sig_sh = _spill(sig_sh, "sigsh")
+        # fused slim signature stage (see signatures.with_slim_signatures):
+        # band keys + est-prefilter minhash prefix + simhash in ONE Arrow
+        # crossing, then one parquet round-trip materializes it for the
+        # downstream consumers (band explode, simhash join, est prefilter
+        # a/b). The vectorized writer/reader is far cheaper than the
+        # columnar in-memory cache for array columns, and a lazy frame
+        # here would be recomputed by every concurrent branch of the next
+        # action (measured 6×). The full num_perm-wide minhash never
+        # leaves the Python worker — pairs are decided by exact shingle
+        # Jaccard, so the suffix is dead weight; committed signature I/O
+        # shrinks ~2.5× and the pair-join shuffle ~4×.
+        sig_sh = _spill(with_slim_signatures(reps, cfg), "sigsh")
+    else:
+        sig_sh = with_shingle_signatures(reps, cfg)
     sigs = sig_sh
     bands = with_bands(sigs, cfg)
     bands, _hot = cap_buckets(bands, cfg.bucket_cap)

@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # post-shuffle grain: AQE's 64 MB advisory is tuned for JVM-cheap
+        # operators; this pipeline's post-shuffle stages are python-CPU
+        # heavy (signature/verify kernels), where 64 MB ⇒ ~10 fat tasks
+        # that quantize badly onto the executor slots (measured: half a
+        # stage running one straggler task at local[8]). 16 MB keeps
+        # task grain fine enough to balance; tiny frames still coalesce.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")

@@ -50,16 +50,19 @@ def join_pair_arrays(
     return pairs.join(fa, "src").join(fb, "dst")
 
 
-def est_filter_floor(cfg: DedupConfig, n_sigma: float = 4.5) -> float:
+def est_filter_floor(
+    cfg: DedupConfig, n_sigma: float = 4.5, perms: int | None = None
+) -> float:
     """MinHash-estimate floor that keeps J ≥ thresh pairs with
     probability ≈ 1 - Φ(-n_sigma): thresh - n_sigma·σ, σ = binomial sd
-    of the per-permutation agreement. At 128 perms / thresh 0.8 this is
-    ≈ 0.64; the miss probability per true pair is ~3e-6 — far inside
-    the 0.99 recall budget."""
+    of the per-permutation agreement over ``perms`` positions (default
+    the full signature). At 128 perms / thresh 0.8 this is ≈ 0.64; at
+    the 32-perm prefilter prefix ≈ 0.48. Miss probability per true pair
+    is ~1e-6 either way — far inside the 0.99 recall budget."""
     import math
 
     t = cfg.jaccard_thresh
-    sigma = math.sqrt(t * (1 - t) / cfg.num_perm)
+    sigma = math.sqrt(t * (1 - t) / (perms or cfg.num_perm))
     return max(0.0, t - n_sigma * sigma)
 
 
@@ -212,11 +215,23 @@ def verify_jaccard_lazy(
 
     from dedup.pipeline import job_desc
 
-    withmh = join_pair_arrays(pairs, signatures, "minhash", "mh_a", "mh_b")
+    # prefix-prefilter: ship only the first est_prefilter_perms MinHash
+    # positions through the pair join (the pipeline's biggest shuffle);
+    # the floor adapts to the narrower estimator (see config)
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm)
+    if "mh_pre" in signatures.columns:  # slimmed pipeline spill
+        mh = F.col("mh_pre")
+    elif p == cfg.num_perm:
+        mh = F.col("minhash")
+    else:
+        mh = F.slice("minhash", 1, p)
+    fa = signatures.select(F.col("doc_id").alias("src"), mh.alias("mh_a"))
+    fb = signatures.select(F.col("doc_id").alias("dst"), mh.alias("mh_b"))
+    withmh = pairs.join(fa, "src").join(fb, "dst")
     with job_desc(pairs.sparkSession, "dedup: candidates + est-filter"):
         passed = (
-            _est_agreement_arrow(withmh, cfg.num_perm)
-            .filter(F.col("est_jacc") >= est_filter_floor(cfg))
+            _est_agreement_arrow(withmh, p)
+            .filter(F.col("est_jacc") >= est_filter_floor(cfg, perms=p))
             .localCheckpoint(eager=True)
         )
     need = (
@@ -227,6 +242,14 @@ def verify_jaccard_lazy(
     sh_needed = with_shingles_np(
         docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text"), cfg
     )
+    # materialize ONCE: both sides of the pair join consume this frame;
+    # left lazy, the docs semi-join + shingle recompute ran twice and the
+    # recomputed arrays shuffled twice (profiled: the two duplicate jobs
+    # were the single largest cost of the verify chain at 500k docs). At
+    # real scale this is the est-survivor shingle TableIO commit.
+    from dedup.pipeline import _spill
+
+    sh_needed = _spill(sh_needed, "shneeded")
     withsh = join_pair_arrays(passed, sh_needed, "shingles", "sh_a", "sh_b")
     return (
         _exact_jaccard_arrow(withsh)

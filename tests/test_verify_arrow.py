@@ -57,6 +57,49 @@ def test_est_agreement_arrow_matches_sql_expr(pair_frames):
     assert got == want
 
 
+def test_band_hashes_batch_matches_sql_expr(spark):
+    """numpy chained-XXH64 band keys == the JVM ``xxhash64(i, slice)``
+    fold, bit for bit, and the fused slim stage == SQL banding of the
+    full signature stage on real text."""
+    import numpy as np
+
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.hashing import band_hashes_batch
+
+    rng = np.random.default_rng(3)
+    mh = rng.integers(0, 2**64, size=(50, cfg.num_perm), dtype=np.uint64)
+    got = band_hashes_batch(mh, cfg.bands, cfg.rows_per_band).view(np.int64)
+    df = spark.createDataFrame(
+        [(i, [int(v) for v in row.view(np.int64)]) for i, row in enumerate(mh)],
+        "doc_id long, minhash array<long>",
+    )
+    from dedup.signatures import band_hashes_expr
+
+    want = {
+        r.doc_id: r.bh
+        for r in df.select("doc_id", band_hashes_expr(cfg).alias("bh")).collect()
+    }
+    for i in range(mh.shape[0]):
+        assert list(got[i]) == want[i], f"row {i}"
+
+
+def test_slim_signatures_match_full_stage(spark, tiny_pages_df):
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import (
+        with_bands,
+        with_shingle_signatures,
+        with_slim_signatures,
+    )
+
+    reps = representatives(to_docs(tiny_pages_df, cfg), cfg)
+    full = with_bands(with_shingle_signatures(reps, cfg), cfg)
+    slim = with_bands(with_slim_signatures(reps, cfg), cfg)
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in slim.collect()}
+    assert a == b
+
+
 def test_exact_jaccard_arrow_matches_sql_expr(pair_frames):
     got = {
         (r.src, r.dst): r.sim for r in _exact_jaccard_arrow(pair_frames).collect()
