@@ -193,6 +193,37 @@ def _exact_jaccard_arrow(withsh: DataFrame) -> DataFrame:
     )
 
 
+_PRE_COLS = ["pre0", "pre1", "pre2", "pre3"]
+
+
+def packed_agreement_expr(p: int) -> F.Column:
+    """Estimate agreement fraction from the byte-packed MinHash prefix
+    (4 longs per side, ``a0..a3`` / ``b0..b3``): count equal BYTES via
+    the exact zero-byte-count identity (Hacker's Delight 6-1: mask high
+    bits, add 0x7F.., so no borrow crosses byte lanes), subtract the
+    32-p zero padding bytes that always match. Pure codegen — no lambda
+    interpretation, no Python crossing — which is what lets the filter
+    run inline over the 50×-overcomplete candidate-pair flood."""
+    # ANSI-safe: the masked add runs on the LOW 7 bytes only (top byte
+    # of the addend mask is 0x00, so no carry can reach the sign bit and
+    # ANSI overflow checking never fires); the top byte is tested on its
+    # own. Per byte b of x: high bit of ((b&0x7F)+0x7F | b) is set iff
+    # b != 0, and the +0x7F never carries across byte lanes.
+    m7 = F.lit(0x007F7F7F7F7F7F7F)
+    lo7 = F.lit(0x00FFFFFFFFFFFFFF)
+    hi7 = F.lit(0x0080808080808080)
+    total = None
+    for i in range(4):
+        x = F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))
+        xl = x.bitwiseAND(lo7)
+        y = F.bitwise_not((xl.bitwiseAND(m7) + m7).bitwiseOR(xl)).bitwiseAND(hi7)
+        c = F.bit_count(y) + F.when(
+            F.shiftright(x, 56).bitwiseAND(F.lit(0xFF)) == 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        total = c if total is None else total + c
+    return ((total - F.lit(32 - p)) / F.lit(p)).cast("double")
+
+
 def verify_jaccard_lazy(
     pairs: DataFrame,
     docs: DataFrame,
@@ -217,21 +248,39 @@ def verify_jaccard_lazy(
 
     # prefix-prefilter: ship only the first est_prefilter_perms MinHash
     # positions through the pair join (the pipeline's biggest shuffle);
-    # the floor adapts to the narrower estimator (see config)
+    # the floor adapts to the narrower estimator (see config). With the
+    # byte-packed spill (4 scalar longs per doc) the whole filter is one
+    # codegen'd expression; byte collisions only raise the estimate, so
+    # the passed set is a superset of the exact-agreement one — recall
+    # is untouched and exact Jaccard still decides every edge.
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm)
-    if "mh_pre" in signatures.columns:  # slimmed pipeline spill
-        mh = F.col("mh_pre")
-    elif p == cfg.num_perm:
-        mh = F.col("minhash")
+    if all(c in signatures.columns for c in _PRE_COLS):
+        p = min(p, 32)
+        floor = est_filter_floor(cfg, perms=p)
+        fa = signatures.select(
+            F.col("doc_id").alias("src"),
+            *[F.col(c).alias(f"a{i}") for i, c in enumerate(_PRE_COLS)],
+        )
+        fb = signatures.select(
+            F.col("doc_id").alias("dst"),
+            *[F.col(c).alias(f"b{i}") for i, c in enumerate(_PRE_COLS)],
+        )
+        est_frame = (
+            pairs.join(fa, "src")
+            .join(fb, "dst")
+            .select("src", "dst", packed_agreement_expr(p).alias("est_jacc"))
+        )
     else:
-        mh = F.slice("minhash", 1, p)
-    fa = signatures.select(F.col("doc_id").alias("src"), mh.alias("mh_a"))
-    fb = signatures.select(F.col("doc_id").alias("dst"), mh.alias("mh_b"))
-    withmh = pairs.join(fa, "src").join(fb, "dst")
+        floor = est_filter_floor(cfg, perms=p)
+        mh = (
+            F.col("minhash") if p == cfg.num_perm else F.slice("minhash", 1, p)
+        )
+        fa = signatures.select(F.col("doc_id").alias("src"), mh.alias("mh_a"))
+        fb = signatures.select(F.col("doc_id").alias("dst"), mh.alias("mh_b"))
+        est_frame = _est_agreement_arrow(pairs.join(fa, "src").join(fb, "dst"), p)
     with job_desc(pairs.sparkSession, "dedup: candidates + est-filter"):
         passed = (
-            _est_agreement_arrow(withmh, p)
-            .filter(F.col("est_jacc") >= est_filter_floor(cfg, perms=p))
+            est_frame.filter(F.col("est_jacc") >= floor)
             .localCheckpoint(eager=True)
         )
     need = (

@@ -83,6 +83,39 @@ def test_band_hashes_batch_matches_sql_expr(spark):
         assert list(got[i]) == want[i], f"row {i}"
 
 
+def test_packed_agreement_expr_counts_equal_bytes(spark):
+    """The codegen zero-byte-count estimate == python low-byte agreement
+    count, including borrow-prone byte patterns (0x00/0x01 neighbours)."""
+    import numpy as np
+
+    from dedup.verify import packed_agreement_expr
+
+    rng = np.random.default_rng(11)
+    rows, want = [], []
+    p = 32
+    for pid in range(300):
+        # low bytes drawn from a tiny alphabet → many equal + many
+        # 0x00/0x01 adjacencies (the false-positive case of the
+        # naive Mycroft trick)
+        a_bytes = rng.integers(0, 3, size=32, dtype=np.uint64)
+        b_bytes = rng.integers(0, 3, size=32, dtype=np.uint64)
+        a = a_bytes.astype(np.uint8).view("<u8").view(np.int64)
+        b = b_bytes.astype(np.uint8).view("<u8").view(np.int64)
+        rows.append((pid, *[int(v) for v in a], *[int(v) for v in b]))
+        want.append(int((a_bytes == b_bytes).sum()) / p)
+    df = spark.createDataFrame(
+        rows,
+        "pid long, a0 long, a1 long, a2 long, a3 long, "
+        "b0 long, b1 long, b2 long, b3 long",
+    )
+    got = {
+        r.pid: r.est
+        for r in df.select("pid", packed_agreement_expr(p).alias("est")).collect()
+    }
+    for pid, w in enumerate(want):
+        assert got[pid] == w, (pid, got[pid], w)
+
+
 def test_slim_signatures_match_full_stage(spark, tiny_pages_df):
     from dedup.config import DEFAULT_CONFIG as cfg
     from dedup.ingest import representatives, to_docs
