@@ -94,6 +94,7 @@ def parse(evdir: str, t_mark: float, cores: int, warm: float) -> None:
     jobs: dict[int, dict] = {}
     stage_names: dict[int, str] = {}
     task_time: dict[int, float] = {}  # per stage, ms
+    stage_metrics: dict[int, dict] = {}  # per stage: cpu/gc/shufW ms, bytes
     stage_jobs: dict[int, int] = {}
     task_spans: list[tuple[float, float]] = []  # (launch_ms, finish_ms)
     def lines():
@@ -132,6 +133,22 @@ def parse(evdir: str, t_mark: float, cores: int, warm: float) -> None:
                 task_spans.append(
                     (info.get("Launch Time", 0), info.get("Finish Time", 0))
                 )
+                m = ev.get("Task Metrics") or {}
+                d = stage_metrics.setdefault(
+                    sid, dict(cpu=0.0, gc=0.0, sw=0.0, sw_b=0, sr_b=0)
+                )
+                d["cpu"] += m.get("Executor CPU Time", 0) / 1e6
+                d["gc"] += m.get("JVM GC Time", 0)
+                d["sw"] += (m.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Write Time", 0
+                ) / 1e6
+                d["sw_b"] += (m.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0
+                )
+                sr = m.get("Shuffle Read Metrics") or {}
+                d["sr_b"] += sr.get("Local Bytes Read", 0) + sr.get(
+                    "Remote Bytes Read", 0
+                )
 
     timed = {
         j: v for j, v in jobs.items() if v.get("start", 0) >= t_mark and "end" in v
@@ -144,12 +161,26 @@ def parse(evdir: str, t_mark: float, cores: int, warm: float) -> None:
         d = v["desc"] or "(none)"
         wall = (v["end"] - v["start"]) / 1000
         tt = sum(task_time.get(s, 0.0) for s in v["stages"]) / 1000
-        by_desc.setdefault(d, [0.0, 0.0, 0])
+        by_desc.setdefault(d, [0.0, 0.0, 0, dict(cpu=0.0, gc=0.0, sw=0.0, sw_b=0, sr_b=0)])
         by_desc[d][0] += wall
         by_desc[d][1] += tt
         by_desc[d][2] += 1
-    for d, (wall, tt, n) in sorted(by_desc.items(), key=lambda kv: -kv[1][0]):
-        print(f"  {wall:7.2f}s wall  {tt:8.1f}s task∑  par {tt/max(wall,.01):5.1f}  jobs {n:3d}  {d}")
+        for s in v["stages"]:
+            if s in stage_metrics:
+                for k, val in stage_metrics[s].items():
+                    by_desc[d][3][k] += val
+    for d, (wall, tt, n, m) in sorted(by_desc.items(), key=lambda kv: -kv[1][0]):
+        # "other" = task time neither on JVM CPU, in GC, nor writing
+        # shuffle — for mapInArrow stages that is Python-worker time; for
+        # joins it is shuffle-fetch/spill/lock waiting. The split is what
+        # distinguishes bandwidth saturation from idle cores.
+        other = tt - (m["cpu"] + m["gc"] + m["sw"]) / 1000
+        print(
+            f"  {wall:7.2f}s wall  {tt:8.1f}s task∑  par {tt/max(wall,.01):5.1f}  "
+            f"jobs {n:3d}  [cpu {m['cpu']/1000:6.1f}s gc {m['gc']/1000:5.1f}s "
+            f"shufW {m['sw']/1000:5.1f}s other {other:6.1f}s "
+            f"shW {m['sw_b']/1e9:5.2f}GB shR {m['sr_b']/1e9:5.2f}GB]  {d}"
+        )
 
     # --- core-occupancy timeline over the timed run: the time spent at
     # ≤1 running task is the true serial (Amdahl) component ---

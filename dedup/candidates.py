@@ -46,9 +46,14 @@ def length_ratio_conjunct(thresh: float) -> F.Column:
     return F.least("src_n", "dst_n") >= F.greatest("src_n", "dst_n") * F.lit(thresh)
 
 
-def lsh_candidates(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+def lsh_candidates(
+    bands: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
     """Self-equi-join of bands on (band, band_hash) → distinct candidate
-    pairs (src < dst canonical), length-ratio pruned."""
+    pairs (src < dst canonical), length-ratio pruned. ``dedupe=False``
+    skips the pair-distinct shuffle — the pipeline est-filters the raw
+    flood first (duplicates get identical estimates) and dedupes the
+    survivors, which is orders of magnitude fewer rows."""
     a = bands.select(
         "band",
         "band_hash",
@@ -65,16 +70,28 @@ def lsh_candidates(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         a.join(b, ["band", "band_hash"])
         .filter(F.col("src") < F.col("dst"))
         .filter(length_ratio_conjunct(cfg.jaccard_thresh))
-    )
-    return pairs.select("src", "dst").dropDuplicates(["src", "dst"])
+    ).select("src", "dst")
+    return pairs.dropDuplicates(["src", "dst"]) if dedupe else pairs
 
 
-def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def simhash_candidates(
+    signatures: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
     """SimHash Hamming-≤h candidates via pigeonhole chunk blocking:
     split the 64-bit simhash into (h+1) chunks — any pair within
     Hamming distance h agrees on at least one chunk — equi-join on
     (chunk_idx, chunk_val), then filter bit_count(xor) ≤ h. All pure
-    SQL (SURVEY §2 E4)."""
+    SQL (SURVEY §2 E4).
+
+    Scale caveat (why the pipeline uses ``simhash_candidates_arrow``):
+    real-corpus simhashes are heavily CORRELATED (templated pages share
+    token distributions), so 16-bit chunk buckets are far from uniform
+    and the equi-join's within-bucket cross product explodes — profiled
+    at 500k synthetic docs the join probe burned >120 core-seconds to
+    keep ~20k pairs. The numpy kernel evaluates the same within-bucket
+    pair space at vectorized speed; this SQL form remains the
+    oracle-twin surface (qkey ``hamming_simhash``) and the semantics
+    reference for the parity test."""
     n_chunks = cfg.hamming_thresh + 1
     width = cfg.simhash_bits // n_chunks
     chunks = F.expr(
@@ -107,5 +124,95 @@ def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         .filter(length_ratio_conjunct(cfg.jaccard_thresh))
         .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= cfg.hamming_thresh)
         .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
     )
+    return out.dropDuplicates(["src", "dst"]) if dedupe else out
+
+
+def simhash_candidates_arrow(
+    signatures: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
+    """Pair-set-identical to ``simhash_candidates`` (asserted by
+    tests/test_verify_arrow.py), built for skewed chunk buckets: explode
+    to (chunk_idx, chunk_val) rows JVM-side, shuffle ONCE on the chunk
+    key, then scan each sorted partition in numpy — equal-key runs are
+    evaluated as blocked xor/popcount matrix slices (~1 ns/pair) instead
+    of join-probe row emissions (~100 ns/pair). A run never spans
+    partitions (hash partitioning on the full key), so the scan is
+    exact."""
+    n_chunks = cfg.hamming_thresh + 1
+    width = cfg.simhash_bits // n_chunks
+    h = cfg.hamming_thresh
+    ratio = cfg.jaccard_thresh
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks - 1}),"
+        f" i -> struct(i as idx, shiftright(simhash, i*{width}) & {(1 << width) - 1} as val))"
+    )
+    ex = signatures.select(
+        "doc_id", "simhash", "n_shingles", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        "simhash",
+        "n_shingles",
+        F.col("c.idx").alias("idx"),
+        F.col("c.val").alias("val"),
+    )
+    part = ex.repartition("idx", "val").sortWithinPartitions("idx", "val")
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dedup.hashing import popcount64
+
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        out_schema = pa.schema(
+            [pa.field("src", pa.int64(), False), pa.field("dst", pa.int64(), False)]
+        )
+        if not tables:
+            return
+        t = pa.concat_tables(tables).combine_chunks()
+        idx = t.column("idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        # partition rows arrive sorted by (idx, val) — sortWithinPartitions
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = (
+            t.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(np.uint64)
+        nsh = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc)
+        if n == 0:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], type=pa.int64())] * 2, schema=out_schema
+            )
+            return
+        bounds = np.flatnonzero(
+            np.diff(idx, prepend=idx[0] - 1) | np.diff(val, prepend=val[0] - 1)
+        )
+        bounds = np.append(bounds, n)
+        srcs, dsts = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            d, sh, ln = doc[s:e], sim[s:e], nsh[s:e]
+            for i in range(m - 1):
+                x = sh[i] ^ sh[i + 1 :]
+                lo = np.minimum(ln[i], ln[i + 1 :])
+                hi = np.maximum(ln[i], ln[i + 1 :])
+                keep = (popcount64(x) <= h) & (lo >= hi * ratio)
+                if keep.any():
+                    dj = d[i + 1 :][keep]
+                    di = np.full(dj.shape, d[i])
+                    srcs.append(np.minimum(di, dj))
+                    dsts.append(np.maximum(di, dj))
+        if srcs:
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+        else:
+            src = dst = np.array([], dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(src), pa.array(dst)], schema=out_schema
+        )
+
+    out = part.mapInArrow(run, schema="src long, dst long")
+    return out.dropDuplicates(["src", "dst"]) if dedupe else out

@@ -493,6 +493,23 @@ def simhash_batch(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out
 
 
+#: 16-bit popcount lookup table (64 KB, built once per worker)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via four 16-bit LUT
+    lookups (numpy<2 has no bitwise_count)."""
+    x = np.asarray(x).view(np.uint64)
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
+
+
 def simhash_from_hashes(hashes: np.ndarray) -> int:
     """64-bit SimHash: bit b = 1 iff strictly more shingle hashes have bit
     b set than clear. Returns signed int64 (Spark LongType). Empty → 0."""

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
-from dedup.candidates import cap_buckets, simhash_candidates
+from dedup.candidates import cap_buckets, simhash_candidates_arrow
 from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
@@ -34,7 +34,7 @@ from dedup.signatures import (
     with_shingles_np,
     with_slim_signatures,
 )
-from dedup.verify import verify_containment, verify_jaccard_lazy
+from dedup.verify import est_filter_pairs, verify_containment, verify_jaccard_lazy
 
 
 #: spill dirs created by this process — removed at interpreter exit so
@@ -131,10 +131,18 @@ def build_edges(
     bands = with_bands(sigs, cfg)
     bands, _hot = cap_buckets(bands, cfg.bucket_cap)
 
-    # salted path when cfg.salt_hot_thresh > 0, plain equi-join otherwise
-    cands = salted_lsh_candidates(bands, cfg)
+    # salted path when cfg.salt_hot_thresh > 0, plain equi-join otherwise.
+    # Raw (non-distinct) floods from both generators: the est prefilter
+    # runs fused into the join stage (pure codegen, verify.est_filter_pairs)
+    # and the pair-distinct shuffle happens on its survivors only — the
+    # 10-100×-overcomplete flood never crosses a shuffle boundary.
+    slim = all(c in sigs.columns for c in ("pre0", "pre1", "pre2", "pre3"))
+    cands = salted_lsh_candidates(bands, cfg, dedupe=False)
     if use_simhash:
-        cands = cands.union(simhash_candidates(sigs, cfg)).dropDuplicates(["src", "dst"])
+        cands = cands.union(simhash_candidates_arrow(sigs, cfg, dedupe=False))
+    if slim:
+        cands = est_filter_pairs(cands, sigs, cfg)
+    cands = cands.dropDuplicates(["src", "dst"])
 
     # exact verification recomputes shingles only for est-passing docs
     # (with_shingles_np) — the full shingle table is never materialized
@@ -164,8 +172,14 @@ def run_dedup(
     """Full pipeline: pages → clusters. ``edge_kinds`` selects which edge
     kinds participate in clustering (pinned default: exact + verified
     Jaccard — the oracle in tests mirrors exactly this rule)."""
-    docs = to_docs(pages, cfg, recompute_text=recompute_text).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
+    # `text` is never read past ingest (similarity runs on norm_text;
+    # reporting on ids/metadata) — keeping it out of the persisted
+    # working set cuts ~1/3 of the cache bytes and of every downstream
+    # cache scan. The raw text stays available in `pages`.
+    docs = (
+        to_docs(pages, cfg, recompute_text=recompute_text)
+        .drop("text")
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     with job_desc(pages.sparkSession, "dedup: ingest docs persist"):
         docs.count()  # eager — see build_edges

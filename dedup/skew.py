@@ -56,16 +56,20 @@ def _sides(bands: DataFrame) -> tuple[DataFrame, DataFrame]:
     return a, b
 
 
-def salted_lsh_candidates(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+def salted_lsh_candidates(
+    bands: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
     """Skew-safe candidate pairs: plain equi-join for cold buckets,
     salted block join for hot ones. Pair-set-identical to
-    ``candidates.lsh_candidates`` at any salt/threshold setting."""
+    ``candidates.lsh_candidates`` at any salt/threshold setting.
+    ``dedupe=False`` defers the pair-distinct to after the est filter
+    (see ``lsh_candidates``)."""
     n = cfg.n_salt
     thresh = cfg.salt_hot_thresh
     if thresh <= 0:
         from dedup.candidates import lsh_candidates
 
-        return lsh_candidates(bands, cfg)
+        return lsh_candidates(bands, cfg, dedupe=dedupe)
 
     hot, cold, _keys = split_hot_cold(bands, thresh)
 
@@ -83,4 +87,5 @@ def salted_lsh_candidates(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         salted_a, replicated_b, [*_KEYS, "block"], cfg.jaccard_thresh
     )
 
-    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["src", "dst"])
+    out = cold_pairs.unionByName(hot_pairs)
+    return out.dropDuplicates(["src", "dst"]) if dedupe else out

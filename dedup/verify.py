@@ -224,6 +224,36 @@ def packed_agreement_expr(p: int) -> F.Column:
     return ((total - F.lit(32 - p)) / F.lit(p)).cast("double")
 
 
+def est_filter_pairs(
+    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Attach the byte-packed MinHash-prefix estimate to a raw
+    (possibly duplicate-bearing) candidate pair flood and keep rows with
+    est ≥ the adaptive floor. Runs BEFORE any pair-distinct: the filter
+    is a pure-codegen expression evaluated inline in the pair-join
+    stage, so the 10-100×-overcomplete flood never hits a shuffle — the
+    distinct afterwards sees only survivors. The pre-col join carries
+    no hint: AQE broadcasts the slim (doc_id + 4 longs) frame when its
+    file stats are small; at cluster scale it degrades to an equi-join
+    that AQE re-plans."""
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
+    floor = est_filter_floor(cfg, perms=p)
+    fa = signatures.select(
+        F.col("doc_id").alias("src"),
+        *[F.col(c).alias(f"a{i}") for i, c in enumerate(_PRE_COLS)],
+    )
+    fb = signatures.select(
+        F.col("doc_id").alias("dst"),
+        *[F.col(c).alias(f"b{i}") for i, c in enumerate(_PRE_COLS)],
+    )
+    return (
+        pairs.join(fa, "src")
+        .join(fb, "dst")
+        .select("src", "dst", packed_agreement_expr(p).alias("est_jacc"))
+        .filter(F.col("est_jacc") >= floor)
+    )
+
+
 def verify_jaccard_lazy(
     pairs: DataFrame,
     docs: DataFrame,
@@ -254,7 +284,13 @@ def verify_jaccard_lazy(
     # the passed set is a superset of the exact-agreement one — recall
     # is untouched and exact Jaccard still decides every edge.
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm)
-    if all(c in signatures.columns for c in _PRE_COLS):
+    if "est_jacc" in pairs.columns:
+        # pipeline path: the est filter already ran fused into the
+        # candidate-join stage (est_filter_pairs) — just pin the
+        # surviving pair frame for its three consumers
+        est_frame = pairs
+        floor = None
+    elif all(c in signatures.columns for c in _PRE_COLS):
         p = min(p, 32)
         floor = est_filter_floor(cfg, perms=p)
         fa = signatures.select(
@@ -278,11 +314,10 @@ def verify_jaccard_lazy(
         fa = signatures.select(F.col("doc_id").alias("src"), mh.alias("mh_a"))
         fb = signatures.select(F.col("doc_id").alias("dst"), mh.alias("mh_b"))
         est_frame = _est_agreement_arrow(pairs.join(fa, "src").join(fb, "dst"), p)
+    if floor is not None:
+        est_frame = est_frame.filter(F.col("est_jacc") >= floor)
     with job_desc(pairs.sparkSession, "dedup: candidates + est-filter"):
-        passed = (
-            est_frame.filter(F.col("est_jacc") >= floor)
-            .localCheckpoint(eager=True)
-        )
+        passed = est_frame.localCheckpoint(eager=True)
     need = (
         passed.select(F.col("src").alias("doc_id"))
         .union(passed.select(F.col("dst").alias("doc_id")))

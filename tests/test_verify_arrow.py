@@ -116,6 +116,79 @@ def test_packed_agreement_expr_counts_equal_bytes(spark):
         assert got[pid] == w, (pid, got[pid], w)
 
 
+def test_popcount64_matches_python():
+    import numpy as np
+
+    from dedup.hashing import popcount64
+
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 2**64, size=1000, dtype=np.uint64)
+    xs[:4] = [0, 1, 2**63, 2**64 - 1]
+    got = popcount64(xs)
+    for x, g in zip(xs, got):
+        assert g == bin(int(x)).count("1")
+
+
+def test_simhash_candidates_arrow_matches_sql(spark):
+    """The numpy run-scan kernel emits EXACTLY the pair set of the SQL
+    chunk equi-join, on signatures with heavy chunk-bucket skew (many
+    docs sharing chunk values — the correlated-simhash case the kernel
+    exists for)."""
+    import random
+
+    from dedup.candidates import simhash_candidates, simhash_candidates_arrow
+    from dedup.config import DEFAULT_CONFIG as cfg
+
+    rng = random.Random(13)
+    base = [rng.randrange(0, 2**64) for _ in range(8)]
+    rows = []
+    for i in range(600):
+        # cluster simhashes around 8 bases with 0-6 bit flips: lots of
+        # equal chunks, a mix of hamming<=3 and >3 pairs
+        s = base[rng.randrange(8)]
+        for _ in range(rng.randint(0, 6)):
+            s ^= 1 << rng.randrange(64)
+        sim = s - 2**64 if s >= 2**63 else s
+        rows.append((i, sim, rng.randint(50, 400)))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long, n_shingles long")
+    want = {
+        (r.src, r.dst) for r in simhash_candidates(sigs, cfg).collect()
+    }
+    got = {
+        (r.src, r.dst) for r in simhash_candidates_arrow(sigs, cfg).collect()
+    }
+    assert want, "degenerate fixture: SQL path found no pairs"
+    assert got == want
+
+
+def test_est_filter_pairs_matches_late_filter(spark, tiny_pages_df):
+    """Fused pre-distinct est filtering (est_filter_pairs on the raw
+    flood) keeps exactly the pairs the post-distinct filter kept."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_bands, with_slim_signatures
+    from dedup.candidates import lsh_candidates
+    from dedup.verify import est_filter_floor, est_filter_pairs, packed_agreement_expr
+
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+    bands = with_bands(sigs, cfg)
+    raw = lsh_candidates(bands, cfg, dedupe=False)
+    fused = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in est_filter_pairs(raw, sigs, cfg).dropDuplicates(["src", "dst"]).collect()
+    }
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
+    late = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in est_filter_pairs(
+            lsh_candidates(bands, cfg, dedupe=True), sigs, cfg
+        ).collect()
+    }
+    assert fused == late
+    assert fused, "degenerate fixture: no est-passing pairs"
+
+
 def test_slim_signatures_match_full_stage(spark, tiny_pages_df):
     from dedup.config import DEFAULT_CONFIG as cfg
     from dedup.ingest import representatives, to_docs
