@@ -333,7 +333,11 @@ def range_partition_by_sig_prefix(sigs: DataFrame, n_partitions: int | None = No
     the signature UDF twice if placed before the persist point."""
     if n_partitions is None:
         n_partitions = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return sigs.repartitionByRange(n_partitions, F.col("minhash")[0], F.col("doc_id"))
+    # full frames range-cluster on the first MinHash position; slim
+    # frames on pre0 (the byte-packed low bytes of the first 8 positions
+    # — same signature-derived clustering, already materialized)
+    key = F.col("minhash")[0] if "minhash" in sigs.columns else F.col("pre0")
+    return sigs.repartitionByRange(n_partitions, key, F.col("doc_id"))
 
 
 def band_hashes_expr(cfg: DedupConfig) -> F.Column:

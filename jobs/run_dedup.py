@@ -38,13 +38,12 @@ from dedup.pipeline import cluster_report  # noqa: E402
 from dedup.signatures import (  # noqa: E402
     range_partition_by_sig_prefix,
     with_bands,
-    with_shingles,
-    with_signatures,
+    with_slim_signatures,
 )
-from dedup.candidates import simhash_candidates  # noqa: E402
+from dedup.candidates import cap_buckets, simhash_candidates_arrow  # noqa: E402
 from dedup.skew import salted_lsh_candidates  # noqa: E402
 from dedup.tableio import TableIO  # noqa: E402
-from dedup.verify import verify_jaccard  # noqa: E402
+from dedup.verify import est_filter_pairs, verify_jaccard_lazy  # noqa: E402
 
 
 def load_pages(spark: SparkSession, path: str, kind: str) -> DataFrame:
@@ -103,22 +102,27 @@ def run(spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame) ->
     docs = docs.persist()
     docs.count()
 
+    # committed signature table is the SLIM form (band hashes + byte-packed
+    # est prefix + simhash): 2.5× less I/O than full-width minhash, and
+    # everything downstream — banding, est prefilter, simhash blocking —
+    # reads only it. Same fused flow as pipeline.build_edges.
     def mk_sigs():
-        sh = with_shingles(representatives(docs, cfg), cfg)
-        return range_partition_by_sig_prefix(with_signatures(sh, cfg))
+        return range_partition_by_sig_prefix(
+            with_slim_signatures(representatives(docs, cfg), cfg)
+        )
 
     sigs = r.stage("signatures", mk_sigs, sort_within=["doc_id"])
 
     def mk_edges():
-        sh = with_shingles(representatives(docs, cfg), cfg).persist()
-        sh.count()
-        bands = with_bands(sigs, cfg)
-        cands = (
-            salted_lsh_candidates(bands, cfg)
-            .union(simhash_candidates(sigs, cfg))
-            .dropDuplicates(["src", "dst"])
+        bands, _hot = cap_buckets(with_bands(sigs, cfg), cfg.bucket_cap)
+        cands = salted_lsh_candidates(bands, cfg, dedupe=False).union(
+            simhash_candidates_arrow(sigs, cfg, dedupe=False)
         )
-        near = verify_jaccard(cands, sh, cfg)
+        # est filter fused pre-distinct: the overcomplete flood never
+        # crosses a shuffle; exact shingle Jaccard (recomputed only for
+        # est survivors inside verify_jaccard_lazy) decides every edge
+        cands = est_filter_pairs(cands, sigs, cfg).dropDuplicates(["src", "dst"])
+        near = verify_jaccard_lazy(cands, docs, cfg, signatures=sigs)
         return exact_edges(docs).unionByName(near).dropDuplicates(["src", "dst"])
 
     edges = r.stage("edges", mk_edges, sort_within=["src", "dst"])

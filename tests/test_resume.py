@@ -76,16 +76,18 @@ def test_staged_run_resumes_and_matches(spark, tiny_pages_df, tmp_path):
     from dedup.ingest import to_docs, representatives
     from dedup.signatures import (
         range_partition_by_sig_prefix,
-        with_shingles,
-        with_signatures,
+        with_slim_signatures,
     )
 
     rb = R(spark, tio_b, cfg, "runB")
     docs = rb.stage("docs", lambda: to_docs(pages, cfg), sort_within=["doc_id"])
+    # stage the crash with the SAME signature format the job commits
+    # (slim: band hashes + packed est prefix) so the resumed edges stage
+    # reads a compatible snapshot
     rb.stage(
         "signatures",
         lambda: range_partition_by_sig_prefix(
-            with_signatures(with_shingles(representatives(docs, cfg), cfg), cfg)
+            with_slim_signatures(representatives(docs, cfg), cfg)
         ),
         sort_within=["doc_id"],
     )
