@@ -115,7 +115,7 @@ def simhash_candidates(
         "idx", "val", F.col("doc_id").alias("dst"),
         F.col("simhash").alias("sim_b"), F.col("n_shingles").alias("dst_n"),
     )
-    return (
+    out = (
         a.join(b, ["idx", "val"])
         .filter(F.col("src") < F.col("dst"))
         # exact-safe length-ratio prune (D4): these candidates only feed
