@@ -51,9 +51,24 @@ def connected_components(
     from dedup.pipeline import job_desc
 
     with job_desc(edges.sparkSession, "dedup: verify + edge symmetrize"):
+        # symmetrize via explode, NOT a self-union: a union references
+        # the (typically still-unfilled, lazily-persisted) edge frame
+        # from two concurrent branches of the same action, and each
+        # branch recomputes the upstream verify chain — the pair join +
+        # exact-Jaccard kernel ran twice (profiled). One generator pass
+        # reads every edge once.
         e = (
-            edges.select("src", "dst")
-            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("src").alias("dst")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.src", "p.dst")
             .distinct()
             .localCheckpoint(eager=True)
         )

@@ -71,16 +71,32 @@ def to_docs(pages: DataFrame, cfg: DedupConfig, recompute_text: bool = False) ->
     column is re-derived from html via the versioned extractor (the
     BASELINE.json:15 invariant path); otherwise the provided text column
     is trusted and the extractor only fills nulls."""
-    latest = asof_latest(pages)
     if recompute_text:
-        text = extract_text_udf(F.col("html"))
+        # extract only the winning capture per url — the extractor is
+        # the expensive path, so rank first, extract after
+        latest = asof_latest(pages).select(
+            "url", "warc_ts", "lang", extract_text_udf(F.col("html")).alias("text")
+        )
     else:
-        text = F.when(
-            F.col("text").isNull() & F.col("html").isNotNull(),
-            extract_text_udf(F.col("html")),
-        ).otherwise(F.col("text"))
+        # trusted-text path: resolve text per row BEFORE the as-of
+        # window so the html payload (≈half the page bytes) never
+        # enters the window shuffle — it is dead weight after the
+        # null-fill. The fill is per-row, so pre- vs post-window is
+        # semantically identical; it only runs on null-text rows.
+        pre = pages.select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.when(
+                F.col("text").isNull() & F.col("html").isNotNull(),
+                extract_text_udf(F.col("html")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        latest = asof_latest(pre)
     return (
-        latest.select("url", "warc_ts", "lang", text.alias("text"))
+        latest.select("url", "warc_ts", "lang", "text")
         .withColumn("doc_id", F.xxhash64("url"))
         .withColumn("norm_text", normalize_text(F.col("text")))
         .withColumn("n_chars", F.length("norm_text").cast("long"))

@@ -140,6 +140,96 @@ def _est_agreement_arrow(withmh: DataFrame, num_perm: int) -> DataFrame:
     )
 
 
+def _str_col_np(txt, n: int):
+    """Arrow StringArray → (uint8 data-buffer view, int64[n+1] absolute
+    byte offsets) — the zero-copy form ``hashing.hash_char_kgrams``
+    consumes. Nulls are filled with '' first (empty doc ⇒ the pinned
+    short-doc shingle rule applies)."""
+    import pyarrow as pa
+
+    if txt.null_count:
+        txt = pa.compute.fill_null(txt, "")
+    off_dtype = "<i8" if pa.types.is_large_string(txt.type) else "<i4"
+    bufs = txt.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        txt.offset : txt.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offsets
+
+
+def _jaccard_from_flat(va, oa, vb, ob, n: int) -> np.ndarray:
+    """Per-row exact Jaccard of two segmented uint64 hash arrays
+    (ascending per segment, UNSIGNED order — see hash_char_kgrams)."""
+    sim = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        a = va[oa[i] : oa[i + 1]]
+        b = vb[ob[i] : ob[i + 1]]
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) == 0:
+            sim[i] = 1.0 if len(b) == 0 else 0.0
+            continue
+        idx = np.searchsorted(b, a)
+        idx[idx == len(b)] = len(b) - 1
+        inter = int((b[idx] == a).sum())
+        sim[i] = inter / float(len(a) + len(b) - inter)
+    return sim
+
+
+def _exact_jaccard_text_arrow(withtext: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(src, dst, est_jacc, t_a, t_b) → + sim: recompute BOTH sides'
+    distinct k-gram shingle hashes from the normalized text inside the
+    kernel (``hashing.hash_char_kgrams`` — bit-identical to the
+    signature stage) and intersect per pair.
+
+    Scale rationale: shingle hash arrays are ~8× the utf-8 text they
+    come from (8 bytes per char window vs ~1 byte per char), and the
+    pair join duplicates the payload per pair — shipping text instead
+    of arrays shrinks the verify shuffle, the pipeline's largest and
+    worst-scaling (DRAM-bound) data movement, by that factor, and the
+    separate est-survivor shingle materialization stage disappears.
+    Re-hashing costs one extra kernel pass per pair side, which scales
+    near-linearly with cores (blocked kernel), unlike shuffle bytes."""
+    import pyarrow as pa
+
+    from dedup.hashing import hash_char_kgrams
+
+    k = cfg.k
+
+    def run(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            da, toa = _str_col_np(rb.column(rb.schema.get_field_index("t_a")), n)
+            db, tob = _str_col_np(rb.column(rb.schema.get_field_index("t_b")), n)
+            fa, la = hash_char_kgrams(da, toa, k)
+            fb, lb = hash_char_kgrams(db, tob, k)
+            oa = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(la, out=oa[1:])
+            ob = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lb, out=ob[1:])
+            sim = _jaccard_from_flat(fa, oa, fb, ob, n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("src")),
+                    rb.column(rb.schema.get_field_index("dst")),
+                    rb.column(rb.schema.get_field_index("est_jacc")),
+                    pa.array(sim),
+                ],
+                names=["src", "dst", "est_jacc", "sim"],
+            )
+
+    return withtext.select("src", "dst", "est_jacc", "t_a", "t_b").mapInArrow(
+        run, schema="src long, dst long, est_jacc double, sim double"
+    )
+
+
 def _exact_jaccard_arrow(withsh: DataFrame) -> DataFrame:
     """(src, dst, est_jacc, sh_a, sh_b) → + sim: exact Jaccard of the
     distinct sorted shingle-hash arrays, vectorized searchsorted
@@ -261,19 +351,18 @@ def verify_jaccard_lazy(
     signatures: DataFrame,
 ) -> DataFrame:
     """Candidate pairs → verified 'near' edges, recomputing shingles only
-    for docs that survive the MinHash-estimate pre-filter.
+    for docs that survive the MinHash-estimate pre-filter — from TEXT,
+    inside the exact-Jaccard kernel.
 
-    The scale rationale: shingle arrays are ~4× the signature spill and
-    were scanned + shuffled TWICE by the exact-Jaccard joins — the
-    dominant non-scaling (memory-bandwidth-bound) cost of the verify
-    stage. After the est filter only a small fraction of docs is still
-    in play; recomputing their shingles (``with_shingles_np``, bit-
-    identical) moves megabytes instead of gigabytes. The est-passing
-    pair frame is localCheckpoint'ed — it is tiny and feeds three
-    branches (id extraction + both sides of the array join), which
-    would otherwise re-run the wide minhash join."""
-    from dedup.signatures import with_shingles_np
-
+    The scale rationale: shingle arrays (8 B per char window) are ~8×
+    the utf-8 text they derive from, and the pair join duplicates its
+    payload per pair — so the exact verifier joins the pruned docs'
+    ``norm_text`` to the pairs and re-hashes both sides in the kernel
+    (``_exact_jaccard_text_arrow``, bit-identical), moving megabytes
+    where the array join moved gigabytes. The est-passing pair frame is
+    localCheckpoint'ed — it is tiny and feeds three branches (endpoint
+    extraction + both sides of the text join), which would otherwise
+    re-run the candidate flood."""
     from dedup.pipeline import job_desc
 
     # prefix-prefilter: ship only the first est_prefilter_perms MinHash
@@ -318,25 +407,25 @@ def verify_jaccard_lazy(
         est_frame = est_frame.filter(F.col("est_jacc") >= floor)
     with job_desc(pairs.sparkSession, "dedup: candidates + est-filter"):
         passed = est_frame.localCheckpoint(eager=True)
+    # est-survivor verification ships TEXT, not shingle arrays: the
+    # semi-join prunes docs to the surviving pair endpoints, the pair
+    # join duplicates ~1 KB of utf-8 per side instead of ~8 KB of
+    # int64 hashes, and the kernel re-hashes both sides in-place
+    # (bit-identical kernel). The former est-survivor shingle spill
+    # stage (compute + parquet round-trip + 8×-heavier pair shuffle)
+    # disappears entirely — shuffle bytes were the pipeline's worst-
+    # scaling cost (profiled 2-7× task-time inflation 8→32 cores),
+    # while the extra per-side hash pass rides the near-linear-scaling
+    # blocked numpy kernel.
     need = (
         passed.select(F.col("src").alias("doc_id"))
         .union(passed.select(F.col("dst").alias("doc_id")))
         .distinct()
     )
-    sh_needed = with_shingles_np(
-        docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text"), cfg
-    )
-    # materialize ONCE: both sides of the pair join consume this frame;
-    # left lazy, the docs semi-join + shingle recompute ran twice and the
-    # recomputed arrays shuffled twice (profiled: the two duplicate jobs
-    # were the single largest cost of the verify chain at 500k docs). At
-    # real scale this is the est-survivor shingle TableIO commit.
-    from dedup.pipeline import _spill
-
-    sh_needed = _spill(sh_needed, "shneeded")
-    withsh = join_pair_arrays(passed, sh_needed, "shingles", "sh_a", "sh_b")
+    texts = docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text")
+    withtext = join_pair_arrays(passed, texts, "norm_text", "t_a", "t_b")
     return (
-        _exact_jaccard_arrow(withsh)
+        _exact_jaccard_text_arrow(withtext, cfg)
         .filter(F.col("sim") >= cfg.jaccard_thresh)
         .select(
             "src",

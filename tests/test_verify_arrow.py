@@ -220,3 +220,42 @@ def test_exact_jaccard_arrow_matches_sql_expr(pair_frames):
     # est_jacc column passes through unchanged
     ests = {r.est_jacc for r in _exact_jaccard_arrow(pair_frames).collect()}
     assert ests == {0.5}
+
+
+def test_exact_jaccard_text_arrow_matches_shingle_sql(spark):
+    """The text-input kernel (hash k-grams in-kernel, then intersect)
+    must equal shingling via the pinned SQL expression + SQL Jaccard —
+    including unicode, short-doc and empty texts. (Null texts never
+    reach the verifier — endpoints must carry signatures, and null
+    norm_text rows are filtered before signing.)"""
+    from dedup.config import DedupConfig
+    from dedup.signatures import shingles_expr
+    from dedup.verify import _exact_jaccard_text_arrow
+
+    cfg = DedupConfig()
+    rng = random.Random(11)
+    words = ["the", "café", "naïve", "data", "Ω", "page", "boiler", "ᚠᚢᚦ"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 60)))
+        for _ in range(120)
+    ]
+    texts[0], texts[1], texts[2] = "", "ab", "a"  # short-doc rules
+    rows = [
+        (i, i + 1_000_000, 0.5, texts[i], texts[rng.randrange(len(texts))])
+        for i in range(len(texts))
+    ]
+    pairs = spark.createDataFrame(
+        rows, "src long, dst long, est_jacc double, t_a string, t_b string"
+    )
+    got = {(r.src, r.dst): r.sim for r in _exact_jaccard_text_arrow(pairs, cfg).collect()}
+    sh = pairs.select(
+        "src",
+        "dst",
+        shingles_expr("t_a", cfg.k).alias("sh_a"),
+        shingles_expr("t_b", cfg.k).alias("sh_b"),
+    )
+    want = {
+        (r.src, r.dst): r.sim
+        for r in sh.select("src", "dst", exact_jaccard_expr().alias("sim")).collect()
+    }
+    assert got == want
