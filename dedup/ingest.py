@@ -37,8 +37,9 @@ def read_pages_jdbc(
     driver-side ResultSet loop; the Spark replacement issues
     ``num_partitions`` bounded range queries in parallel
     (``partitionColumn``/bounds), so ingest scales with the cluster
-    instead of one socket. Untestable in this sandbox (no RDBMS or JDBC
-    driver jar) — exercised only when a driver jar is on the classpath.
+    instead of one socket. Exercised in-sandbox against embedded Apache
+    Derby (qkey ``scan_jdbc``); any network RDBMS works the same way
+    given its driver jar.
     """
     reader = (
         spark.read.format("jdbc")

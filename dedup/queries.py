@@ -136,6 +136,54 @@ def q_gen_pages(spark, sf_dir):
     return pages.select("url", "lang", F.length("text").cast("long").alias("n_chars"))
 
 
+@register("scan_jdbc")  # rows-only: reference-parity partitioned RDBMS ingest (A2)
+def q_scan_jdbc(spark, sf_dir):
+    """SURVEY §2 A2 exercised for real: embedded Apache Derby (the RDBMS
+    jar Spark itself ships for the Hive metastore) stands in for the
+    reference's MySQL. Seed a Derby table from ``documents`` once per
+    process, then read it back through ``read_pages_jdbc`` — N bounded
+    range queries in parallel, vs the reference's single-connection
+    ResultSet loop. Embedded Derby is same-JVM-only, which local mode
+    satisfies; on a real cluster the same code path takes a network
+    JDBC url."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dedup.ingest import read_pages_jdbc
+
+    # derby.log lands in user.dir unless redirected; db path is unique
+    # per (process, sf_dir) — embedded Derby locks a database directory
+    # to one booting JVM, and a fresh path sidesteps stale-lock risk
+    spark._jvm.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db = os.path.join(tempfile.gettempdir(), f"dedup_derby_{os.getpid()}_{tag}")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    if not os.path.exists(os.path.join(db, "service.properties")):
+        (
+            src.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "documents")
+            .option("driver", driver)
+            .option("createTableColumnTypes", "lang VARCHAR(16)")
+            .mode("overwrite")
+            .save()
+        )
+    lo, hi = src.agg(F.min("doc_id"), F.max("doc_id")).first()
+    return read_pages_jdbc(
+        spark,
+        url,
+        "documents",
+        partition_column="doc_id",
+        num_partitions=8,
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        properties={"driver": driver},
+    ).select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # B. projection / filter / scalar functions
 # ---------------------------------------------------------------------------
@@ -1092,6 +1140,59 @@ def q_foreach_batch_dedup(spark, sf_dir):
     q = incremental_dedup_query(spark, staging, wh, ckpt, DEFAULT_CONFIG)
     q.awaitTermination(300)
     return TableIO(spark, wh, backend="parquet").read("clusters")
+
+
+@register("stateful_sketch")  # rows-only (J5: transformWithStateInPandas)
+def q_stateful_sketch(spark, sf_dir):
+    """Per-lang running MinHash-union sketch over a 2-microbatch stream —
+    the arbitrary-state API carrying state across triggers (RocksDB
+    state store). Final emitted row per lang = whole-corpus sketch."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from dedup.session import enable_rocksdb_state
+    from dedup.streaming import stateful_minhash_sketch
+
+    enable_rocksdb_state(spark)
+    cfg = DEFAULT_CONFIG
+    docs = docs_norm(spark, sf_dir).limit(200)
+    sigs = (
+        _cached("signatures", spark, sf_dir, cfg)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", "minhash")
+    )
+    staging = tempfile.mkdtemp(prefix="qsketch-")
+    tmp = tempfile.mkdtemp()
+    sigs.repartition(2).write.mode("overwrite").parquet(os.path.join(tmp, "o"))
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(tmp, "o", "part-*.parquet")))
+    ):
+        shutil.move(part, os.path.join(staging, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("lang string, minhash array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    name = f"q_stateful_sketch_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_minhash_sketch(stream, cfg)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.table(name)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"))
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("lang", "n_docs", "est_distinct_shingles")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -70,6 +70,18 @@ def get_spark(
     return b.getOrCreate()
 
 
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch streaming state storage to the bundled RocksDB provider —
+    used by the stateful-sketch operator (SURVEY.md §2 J5) and the right
+    choice at scale anyway: state lives off-heap/on-disk per executor
+    instead of in the HDFS-backed in-memory map, so a 100 TB corpus's
+    per-key sketches don't compete with shuffle memory."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff an iceberg-spark-runtime jar is on the JVM classpath.
     Locally there is none (SURVEY.md §0); TableIO then uses the

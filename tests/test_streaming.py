@@ -128,3 +128,75 @@ def test_incremental_query_plumbing(spark, tmp_path, pages_pdf):
     q2 = incremental_dedup_query(spark, staging, wh, ckpt, DEFAULT_CONFIG)
     q2.awaitTermination(300)
     assert tio.read("docs").count() == n1
+
+
+def test_stateful_sketch_equals_batch_union_min(spark, tmp_path):
+    """J5: the cross-trigger RocksDB state must make the final emitted
+    sketch per lang equal the batch elementwise uint64-min of all member
+    signatures, with exact doc counts — proven over TWO microbatches so
+    the state genuinely carries between triggers."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from dedup.session import enable_rocksdb_state
+    from dedup.signatures import with_shingles, with_signatures
+    from dedup.streaming import stateful_minhash_sketch
+
+    enable_rocksdb_state(spark)
+    cfg = DEFAULT_CONFIG
+    docs = spark.createDataFrame(
+        [
+            (i, f"lang{i % 2}", f"some web page body text number {i} " * 10)
+            for i in range(40)
+        ],
+        "doc_id long, lang string, norm_text string",
+    )
+    sigs = (
+        with_signatures(with_shingles(docs.select("doc_id", "norm_text"), cfg), cfg)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", "minhash")
+    )
+    expect = {}
+    for r in sigs.collect():
+        sk = np.asarray(r.minhash, dtype=np.int64).view(np.uint64)
+        cur, n = expect.get(r.lang, (None, 0))
+        expect[r.lang] = (sk if cur is None else np.minimum(cur, sk), n + 1)
+
+    staging = str(tmp_path / "sketch-staging")
+    os.makedirs(staging, exist_ok=True)
+    tmp = str(tmp_path / "sketch-tmp")
+    sigs.repartition(2).write.mode("overwrite").parquet(tmp)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+    assert len(parts) == 2
+    for i, part in enumerate(parts):
+        shutil.move(part, os.path.join(staging, f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("lang string, minhash array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stateful_minhash_sketch(stream, cfg)
+        .writeStream.format("memory")
+        .queryName("sketch_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("sketch_test").collect()
+    assert len(out) >= 2  # at least one emission per lang
+    final = {}
+    for r in out:
+        if r.lang not in final or r.n_docs > final[r.lang].n_docs:
+            final[r.lang] = r
+    assert set(final) == set(expect)
+    for lang, r in final.items():
+        want_sketch, want_n = expect[lang]
+        assert r.n_docs == want_n
+        got = np.asarray(r.sketch, dtype=np.int64).view(np.uint64)
+        assert (got == want_sketch).all()
+        assert r.est_distinct_shingles > 0
