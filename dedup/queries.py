@@ -136,7 +136,9 @@ def q_gen_pages(spark, sf_dir):
     return pages.select("url", "lang", F.length("text").cast("long").alias("n_chars"))
 
 
-@register("scan_jdbc")  # rows-only: reference-parity partitioned RDBMS ingest (A2)
+# oracle = the source table itself: the qkey's value is proving the
+# Derby write + partitioned JDBC read round-trips losslessly
+@register("scan_jdbc", "SELECT doc_id, lang, n_chars FROM documents")
 def q_scan_jdbc(spark, sf_dir):
     """SURVEY §2 A2 exercised for real: embedded Apache Derby (the RDBMS
     jar Spark itself ships for the Hive metastore) stands in for the
@@ -916,7 +918,24 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
-@register("multimodal_meta")  # rows-only (binary-column decode plumbing)
+# the deterministic-fake decode derives (width, height) from the first
+# two bytes of sha256(blob) — reproducible in SQL from the hex digest
+# (DuckDB sha256(VARCHAR) hashes the utf-8 bytes, = sha256(encode(text)))
+_MULTIMODAL_SQL = """
+WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                  sha256(text) AS content_sha FROM documents),
+b AS (SELECT *,
+        (strpos('0123456789abcdef', substr(content_sha, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(content_sha, 2, 1)) - 1 AS h0,
+        (strpos('0123456789abcdef', substr(content_sha, 3, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(content_sha, 4, 1)) - 1 AS h1
+      FROM m)
+SELECT media_id, n_bytes, content_sha, 'fake' AS format,
+       (16 + h0 % 240)::INT AS width, (16 + h1 % 240)::INT AS height FROM b
+"""
+
+
+@register("multimodal_meta", _MULTIMODAL_SQL)
 def q_multimodal_meta(spark, sf_dir):
     from dedup.multimodal import extract_media_meta
 
@@ -931,29 +950,106 @@ def q_multimodal_meta(spark, sf_dir):
 # I. clustering — the flagship near-dup pipeline
 # ---------------------------------------------------------------------------
 
+# DuckDB twins for the clustering qkeys. Hash-free formulation of the
+# pinned semantics (config.py): an edge joins two docs iff their
+# normalized texts are identical (pipeline 'exact' kind) OR both are
+# shingle-eligible (>= min_text_len normalized chars) and their distinct
+# char-5-gram STRING sets have Jaccard >= jaccard_thresh (pipeline
+# 'near' kind — hash-set Jaccard equals string-set Jaccard modulo
+# xxhash64 collisions). Components come from a recursive CTE (transitive
+# closure over the symmetrized edge list); the label is the min
+# reachable source doc_id — the same deterministic rule the pipeline
+# uses. Edge-set equality pipeline-vs-this-SQL at sf0.01 is exact for
+# BOTH presets (25 edges, 0 missing / 0 extra, checked 2026-08-18): the
+# est-prefilter miss probability (~1e-6/pair) and the b=16/r=8 LSH miss
+# probability are real at scale but do not fire on this deterministic
+# dataset, and every emitted edge is verified by exact Jaccard.
+_CLUSTER_EDGE_CTES = f"""
+WITH RECURSIVE d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+s AS (SELECT doc_id, nt, length(nt) AS n, {SHINGLES_SQL} AS sh FROM d),
+p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE a.nt = b.nt
+         OR (a.n >= {DEFAULT_CONFIG.min_text_len}
+             AND b.n >= {DEFAULT_CONFIG.min_text_len}
+             AND length(list_intersect(a.sh, b.sh))::DOUBLE
+               / (length(a.sh) + length(b.sh)
+                  - length(list_intersect(a.sh, b.sh)))
+               >= {DEFAULT_CONFIG.jaccard_thresh})),
+e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)"""
 
-@register("near_dup_clusters")  # rows-only (hash-seeded; pytest oracle covers it)
+#: every doc labeled, singletons = own id (I2 / flagship output shape)
+_CLUSTER_ASSIGN_SQL = (
+    _CLUSTER_EDGE_CTES
+    + """,
+r AS (SELECT doc_id AS id, doc_id AS m FROM d
+      UNION
+      SELECT e.dst AS id, r.m AS m FROM r JOIN e ON e.src = r.id)
+SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id"""
+)
+
+#: only vertices that appear in an edge (I1 conn_comp output shape)
+_CONN_COMP_SQL = (
+    _CLUSTER_EDGE_CTES
+    + """,
+r AS (SELECT DISTINCT src AS id, src AS m FROM e
+      UNION
+      SELECT e.dst AS id, r.m AS m FROM r JOIN e ON e.src = r.id)
+SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id"""
+)
+
+_CLUSTER_REPORT_SQL = (
+    _CLUSTER_EDGE_CTES
+    + """,
+r AS (SELECT doc_id AS id, doc_id AS m FROM d
+      UNION
+      SELECT e.dst AS id, r.m AS m FROM r JOIN e ON e.src = r.id),
+a AS (SELECT id, min(m) AS cid FROM r GROUP BY id)
+SELECT a.cid AS cluster_id, count(*)::BIGINT AS cluster_size,
+       min(s.n)::BIGINT AS min_n_chars, max(s.n)::BIGINT AS max_n_chars
+FROM a JOIN s ON s.doc_id = a.id GROUP BY a.cid"""
+)
+
+
+@register("near_dup_clusters", _CLUSTER_ASSIGN_SQL)
 def q_near_dup_clusters(spark, sf_dir):
     from dedup.pipeline import run_dedup
 
     pages = documents_as_pages(spark, sf_dir)
     res = run_dedup(pages, HIGH_RECALL_CONFIG)
-    # map the synthetic url back to the source table's doc_id; cluster_id
-    # stays the pipeline's stable min-xxhash64 label
-    return res.clusters.select(
+    # map the synthetic url back to the source table's doc_id, then
+    # relabel each cluster by its min SOURCE doc_id — the same partition
+    # of the documents, in a hash-free id space the DuckDB twin can
+    # reproduce (the raw pipeline label is the min xxhash64(url))
+    mapped = res.clusters.select(
         F.regexp_extract("url", "doc://(-?\\d+)", 1).cast("long").alias("doc_id"),
-        "cluster_id",
+        F.col("cluster_id").alias("pipe_cid"),
+    )
+    w = Window.partitionBy("pipe_cid")
+    return mapped.select(
+        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
     )
 
 
-@register("cluster_report")  # rows-only
+@register("cluster_report", _CLUSTER_REPORT_SQL)
 def q_cluster_report(spark, sf_dir):
-    from dedup.pipeline import cluster_report, run_dedup
+    from dedup.pipeline import run_dedup
 
     pages = documents_as_pages(spark, sf_dir)
     res = run_dedup(pages, HIGH_RECALL_CONFIG)
-    return cluster_report(res.clusters).select(
-        "cluster_id", "cluster_size", "canonical_doc_id"
+    mapped = res.clusters.select(
+        F.regexp_extract("url", "doc://(-?\\d+)", 1).cast("long").alias("doc_id"),
+        F.col("cluster_id").alias("pipe_cid"),
+        "n_chars",
+    )
+    w = Window.partitionBy("pipe_cid")
+    relab = mapped.select(
+        "doc_id", "n_chars", F.min("doc_id").over(w).alias("cluster_id")
+    )
+    return relab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min("n_chars").cast("long").alias("min_n_chars"),
+        F.max("n_chars").cast("long").alias("max_n_chars"),
     )
 
 
@@ -1003,13 +1099,17 @@ def q_salted_join(spark, sf_dir):
 REGISTRY["exact_jaccard"] = REGISTRY["ngram_jaccard"]
 
 
-@register("sort_within")  # rows-only (H2: file clustering before write)
+# oracle = table contents: sortWithinPartitions must be a pure physical
+# reordering (same rows in, same rows out — the compare is order-free)
+@register("sort_within", "SELECT doc_id, lang, n_chars FROM documents")
 def q_sort_within(spark, sf_dir):
     d = load(spark, sf_dir, "documents").repartition(4, "lang")
     return d.sortWithinPartitions("lang", "doc_id").select("doc_id", "lang", "n_chars")
 
 
-@register("sink_table")  # rows-only (A3: committed write, manifest-isolated)
+# oracle = table contents: the committed write + manifest read must
+# round-trip the frame losslessly
+@register("sink_table", "SELECT doc_id, lang, n_chars FROM documents")
 def q_sink_table(spark, sf_dir):
     import tempfile
 
@@ -1021,7 +1121,9 @@ def q_sink_table(spark, sf_dir):
     return tio.read("docs_q")
 
 
-@register("snapshot_read")  # rows-only (A4: time travel to an old snapshot)
+# oracle = the first commit's predicate: time travel to snapshot s0
+# must see the en-rows only, not the second append
+@register("snapshot_read", "SELECT doc_id, lang FROM documents WHERE lang = 'en'")
 def q_snapshot_read(spark, sf_dir):
     import tempfile
 
@@ -1034,7 +1136,7 @@ def q_snapshot_read(spark, sf_dir):
     return tio.read("t", snapshot_id=s0)  # only the first commit's rows
 
 
-@register("conn_comp")  # rows-only (I1: components over the edge frame)
+@register("conn_comp", _CONN_COMP_SQL)  # I1: components over the edge frame
 def q_conn_comp(spark, sf_dir):
     from dedup.components import connected_components
     from dedup.pipeline import build_edges
@@ -1044,14 +1146,18 @@ def q_conn_comp(spark, sf_dir):
         "doc_id",
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
         "norm_text",
-        F.col("n_chars").cast("long").alias("n_chars"),
+        # the pipeline's n_chars is length(norm_text) (ingest.to_docs) —
+        # the oracle twin measures the same, not the table's raw count
+        F.length("norm_text").cast("long").alias("n_chars"),
         F.sha2("norm_text", 256).alias("content_sha"),
     )
     edges, _s, _sh = build_edges(docs, cfg, persist=False)
+    # source-table doc_ids flow straight through build_edges here, so
+    # min-doc_id component labels are already in the oracle's id space
     return connected_components(edges, max_iter=cfg.max_cc_iter)
 
 
-@register("cluster_assign")  # rows-only (I2: every doc labeled, singletons too)
+@register("cluster_assign", _CLUSTER_ASSIGN_SQL)  # I2: every doc labeled
 def q_cluster_assign(spark, sf_dir):
     return q_near_dup_clusters(spark, sf_dir)
 
