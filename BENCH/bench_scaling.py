@@ -122,6 +122,18 @@ def _measure_child(q, cores: int, path: str, n_docs: int, warm_runs: int) -> Non
     q.put(measure(cores, path, n_docs, warm_runs))
 
 
+def host_ceiling(core_list: list[int], seconds: float = 12.0) -> dict[int, float]:
+    """Same-day hardware scaling ceiling: the pipeline's own numpy
+    signature kernels in K plain PROCESSES (no Spark, no GIL, no
+    shuffle) at each level. The N→4N efficiency of THIS is the most any
+    job can show on this VM — and it moves across reboots/days
+    (measured 0.92-0.96 at 8→32 on 2026-08-17, 0.64-0.76 on 08-18), so
+    it must be captured in the same window as the pipeline numbers."""
+    from BENCH.calibrate_host import measure as cal_measure
+
+    return {k: cal_measure(k, seconds) for k in core_list}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=100_000)
@@ -149,6 +161,7 @@ def main() -> None:
 
     ctx = mp.get_context("spawn")
     core_list = [int(c) for c in args.cores.split(",")]
+    ceiling = host_ceiling(core_list)
     runs: dict[int, list[dict]] = {c: [] for c in core_list}
     for _ in range(args.rounds):
         for c in core_list:
@@ -183,6 +196,9 @@ def main() -> None:
         )
         for n, m in pairs
     }
+    ceil_eff = {
+        f"{n}->{m}": round((ceiling[m] / ceiling[n]) / (m / n), 3) for n, m in pairs
+    }
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
@@ -192,13 +208,17 @@ def main() -> None:
         "efficiency": round(eff, 3),
         "ratio": ratio,
         "pair_efficiency": pair_eff,
+        "host_ceiling_docs_per_sec": {str(k): round(v, 0) for k, v in ceiling.items()},
+        "host_ceiling_efficiency": ceil_eff,
         "rounds": args.rounds,
         "measured_at": datetime.now(timezone.utc).isoformat(),
     }
     print(json.dumps(payload))
 
     pair_lines = "\n".join(
-        f"| local[{n}] → local[{m}] | ×4 cores | **{pair_eff[f'{n}->{m}']}** |"
+        f"| local[{n}] → local[{m}] | ×4 cores | **{pair_eff[f'{n}->{m}']}** | "
+        f"{ceil_eff[f'{n}->{m}']} | "
+        f"{round(pair_eff[f'{n}->{m}'] / ceil_eff[f'{n}->{m}'], 2)} |"
         for n, m in pairs
     )
     with open(args.out, "w") as f:
@@ -228,16 +248,20 @@ to the same noise distribution.
 
 ## Scaling efficiency, N → 4N cores (target ≥ 0.8, BASELINE.json:2)
 
-| pair | ratio | efficiency |
-|---|---|---|
+| pair | ratio | pipeline efficiency | host ceiling (same-day) | pipeline/ceiling |
+|---|---|---|---|---|
 {pair_lines}
 
+- **Host ceiling** = the pipeline's own numpy signature kernels run in K
+  plain PROCESSES (no Spark, no GIL, no shuffle —
+  `BENCH/calibrate_host.py`), measured in the same window: the most ANY
+  job can scale on this shared VM. It moves across reboots/days
+  (0.92-0.96 at 8→32 on 2026-08-17; 0.64-0.88 depending on pair on
+  08-18), which is hypervisor CPU/memory-bandwidth allocation, not a
+  property of the job — on a real N vs 4N executor cluster each
+  executor brings its own sockets and DRAM channels.
 - Cluster-count equality across runs and parallelism levels is asserted
   (determinism invariant, SURVEY.md §4.2).
-- Host ceiling context: the same signature kernels in K plain worker
-  processes (no Spark) scale at 0.92–0.96 efficiency up to K=32
-  (`BENCH/calibrate_host.py`) — the hardware supports ≥0.9; residual
-  pipeline gap is shuffle/JVM-side contention plus tenant noise.
 - sf0.1 `documents` (5k rows) numbers live in the driver-run `bench.py`
   output (`BENCH_r*.json`); at that size Spark fixed costs dominate, which
   is why the scaling protocol uses the {args.n_docs:,}-doc synthetic corpus.

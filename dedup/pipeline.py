@@ -176,13 +176,17 @@ def run_dedup(
     # reporting on ids/metadata) — keeping it out of the persisted
     # working set cuts ~1/3 of the cache bytes and of every downstream
     # cache scan. The raw text stays available in `pages`.
-    docs = (
-        to_docs(pages, cfg, recompute_text=recompute_text)
-        .drop("text")
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    #
+    # Materialization is a parquet round-trip, NOT an in-heap
+    # deserialized cache: building ~1 GB of String/UnsafeRow cache
+    # blocks from 16+ threads concurrently churns the shared heap —
+    # profiled 6.3× task-time inflation (52→324 core-s, GC 0.4→33 s)
+    # going local[4]→local[16] on identical work, the single worst
+    # scaling pathology in the pipeline. The columnar file round-trip
+    # keeps materialized bytes off-heap and every re-scan vectorized.
+    docs = _spill(
+        to_docs(pages, cfg, recompute_text=recompute_text).drop("text"), "docs"
     )
-    with job_desc(pages.sparkSession, "dedup: ingest docs persist"):
-        docs.count()  # eager — see build_edges
     edges, sigs, _sh = build_edges(
         docs, cfg, use_simhash=use_simhash, use_containment=use_containment
     )

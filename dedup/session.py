@@ -63,6 +63,17 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # shuffle write path: 1 MB file buffers (default 32k) cut
+        # per-record syscall/flush overhead ~30×; profiled shuffle-write
+        # time on IDENTICAL bytes inflated 19× going local[4]→local[16]
+        # (4.1→79.4 s for 1.7 GB on tmpfs) — buffer contention, not
+        # bandwidth. Larger lz4 blocks amortize the compressor the same
+        # way. Memory cost: 1 MB × concurrent shuffle-map tasks, trivial
+        # against the driver heap.
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.shuffle.spill.diskWriteBufferSize", "1m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
         .config("spark.local.dir", local_dir)
     )
     for k, v in (extra_conf or {}).items():
