@@ -56,7 +56,11 @@ def connected_components(
         # from two concurrent branches of the same action, and each
         # branch recomputes the upstream verify chain — the pair join +
         # exact-Jaccard kernel ran twice (profiled). One generator pass
-        # reads every edge once.
+        # reads every edge once. No distinct: pipeline edges are already
+        # unique canonical pairs (src < dst), so both orientations are
+        # distinct by construction, and min-label propagation is
+        # duplicate-tolerant anyway — a distinct here was a full extra
+        # shuffle of the edge frame at every scale.
         e = (
             edges.select(
                 F.explode(
@@ -69,7 +73,6 @@ def connected_components(
                 ).alias("p")
             )
             .select("p.src", "p.dst")
-            .distinct()
             .localCheckpoint(eager=True)
         )
     # size the iteration's shuffles to the edge frame, not to the global
@@ -126,7 +129,10 @@ def _cc_single_task(e: DataFrame) -> DataFrame:
                 break
         yield pd.DataFrame({"doc_id": ids, "cluster_id": ids[label]})
 
-    return e.repartition(1).mapInPandas(run, schema="doc_id long, cluster_id long")
+    # coalesce, not repartition: e is checkpointed, so one task reads the
+    # cached blocks directly — a repartition would add a 1-partition
+    # shuffle (write + fetch) for nothing
+    return e.coalesce(1).mapInPandas(run, schema="doc_id long, cluster_id long")
 
 
 def _cc_loop(e: DataFrame, max_iter: int, verbose: bool) -> DataFrame:

@@ -149,6 +149,13 @@ def build_edges(
     near = verify_jaccard_lazy(cands, docs, cfg, signatures=sigs)
     # lazy shingles frame, API compat for callers that want it
     shingles = with_shingles_np(reps, cfg)
+    # the union is duplicate-free by construction, no pair-distinct
+    # shuffle needed: `near` derives 1:1 from the already-distinct
+    # candidate pairs, whose endpoints are content-sha representatives
+    # (one per sha, the group min); `exact` edges point canon → non-rep
+    # member within one sha group, so no exact edge can coincide with a
+    # rep↔rep pair; `substr` edges are anti-joined against `near` and
+    # come from the same distinct candidate set.
     e = exact_edges(docs).unionByName(near)
     if use_containment:
         sub = verify_containment(
@@ -157,8 +164,7 @@ def build_edges(
             cfg,
         )
         e = e.unionByName(sub)
-    edges = e.dropDuplicates(["src", "dst"])
-    return edges, sigs, shingles
+    return e, sigs, shingles
 
 
 def run_dedup(
