@@ -255,10 +255,17 @@ def with_slim_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     k, num_perm, perm_seed = cfg.k, cfg.num_perm, cfg.perm_seed
     b, r = cfg.bands, cfg.rows_per_band
-    p = min(cfg.est_prefilter_perms or num_perm, num_perm, 32)
+    # byte-pack the low byte of EVERY MinHash position (not just the
+    # stage-1 prefix): the first 4 longs carry the 32-perm inline
+    # prefilter bytes exactly as before; the remaining longs feed the
+    # full-width second-stage estimate (verify.refine_est_pairs), whose
+    # tighter floor keeps the expensive text-verify join ~5-10× smaller.
+    # Cost: +(num_perm-32) bytes per doc in the signature spill — tiny
+    # against the text it prunes from the verify shuffle.
+    n_longs = max(4, -(-num_perm // 8))
     out_schema = pa.schema(
         [pa.field("doc_id", pa.int64(), False)]
-        + [pa.field(f"pre{i}", pa.int64(), False) for i in range(4)]
+        + [pa.field(f"pre{i}", pa.int64(), False) for i in range(n_longs)]
         + [
             pa.field("band_hashes", pa.list_(pa.int64()), False),
             pa.field("simhash", pa.int64(), False),
@@ -290,16 +297,16 @@ def with_slim_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             mh = minhash_batch(flat, lengths, consts)  # (n, num_perm) uint64
             bh = band_hashes_batch(mh, b, r).view(np.int64)
             simh = simhash_batch(flat, lengths)
-            # byte-packed est prefix: low byte of each of the first p
-            # MinHash positions, packed little-endian into 4 longs. The
-            # prefilter counts equal BYTES (pure-codegen zero-byte trick
-            # JVM-side) — a byte collision only ever INFLATES the
-            # estimate, so the filtered set is a strict superset of the
-            # exact-agreement one: zero recall cost, 8× fewer prefilter
-            # bytes, and no Arrow crossing for the candidate flood.
-            packed = np.zeros((n, 32), dtype=np.uint8)
-            packed[:, :p] = (mh[:, :p] & np.uint64(0xFF)).astype(np.uint8)
-            pre = packed.view("<u8").view(np.int64)  # (n, 4)
+            # byte-packed est bytes: low byte of each MinHash position,
+            # packed little-endian into longs. The prefilters count equal
+            # BYTES (pure-codegen zero-byte trick JVM-side) — a byte
+            # collision only ever INFLATES the estimate, so every
+            # byte-filtered set is a strict superset of the exact-
+            # agreement one: zero recall cost, 8× fewer bytes than the
+            # hash arrays, and no Arrow crossing for the candidate flood.
+            packed = np.zeros((n, n_longs * 8), dtype=np.uint8)
+            packed[:, :num_perm] = (mh & np.uint64(0xFF)).astype(np.uint8)
+            pre = packed.view("<u8").view(np.int64)  # (n, n_longs)
 
             bh_list = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * b, b, dtype=np.int32)),
@@ -307,7 +314,7 @@ def with_slim_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             )
             yield pa.RecordBatch.from_arrays(
                 [rb.column(rb.schema.get_field_index("doc_id"))]
-                + [pa.array(np.ascontiguousarray(pre[:, i])) for i in range(4)]
+                + [pa.array(np.ascontiguousarray(pre[:, i])) for i in range(n_longs)]
                 + [
                     bh_list,
                     pa.array(simh),
@@ -316,10 +323,11 @@ def with_slim_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
                 schema=out_schema,
             )
 
+    pre_fields = ", ".join(f"pre{i} long" for i in range(n_longs))
     return reps.select("doc_id", "norm_text").mapInArrow(
         run,
         schema=(
-            "doc_id long, pre0 long, pre1 long, pre2 long, pre3 long, "
+            f"doc_id long, {pre_fields}, "
             "band_hashes array<long>, simhash long, n_shingles int"
         ),
     )

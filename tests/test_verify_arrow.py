@@ -259,3 +259,51 @@ def test_exact_jaccard_text_arrow_matches_shingle_sql(spark):
         for r in sh.select("src", "dst", exact_jaccard_expr().alias("sim")).collect()
     }
     assert got == want
+
+
+def test_refine_est_pairs_recall_safe(spark, tiny_pages_df):
+    """Stage-2 refinement (refine_est_pairs: full-width byte-packed
+    estimate + exact shingle-count ratio bound) must never drop a
+    stage-1 survivor whose EXACT Jaccard is >= the threshold: byte
+    collisions only inflate the estimate, and J >= t forces
+    min(|A|,|B|) >= t*max(|A|,|B|). Oracle = python char-kgram sets on
+    the same norm_text."""
+    from dedup.candidates import lsh_candidates
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_bands, with_slim_signatures
+    from dedup.verify import est_filter_pairs, refine_est_pairs
+    from tests.oracle import jaccard, shingle_set
+
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+    # full byte-packed width: ceil(num_perm/8) pre columns
+    n_longs = max(4, -(-cfg.num_perm // 8))
+    assert [c for c in sigs.columns if c.startswith("pre")] == [
+        f"pre{i}" for i in range(n_longs)
+    ]
+
+    stage1 = est_filter_pairs(
+        lsh_candidates(with_bands(sigs, cfg), cfg, dedupe=False), sigs, cfg
+    ).dropDuplicates(["src", "dst"])
+    s1 = {(r.src, r.dst) for r in stage1.collect()}
+    refined = {
+        (r.src, r.dst): r.est_jacc
+        for r in refine_est_pairs(stage1.drop("est_jacc"), sigs, cfg).collect()
+    }
+    assert set(refined) <= s1
+
+    texts = {
+        r.doc_id: r.norm_text
+        for r in docs.select("doc_id", "norm_text").collect()
+    }
+    true_pairs = {
+        (a, b)
+        for a, b in s1
+        if jaccard(shingle_set(texts[a], cfg.k), shingle_set(texts[b], cfg.k))
+        >= cfg.jaccard_thresh
+    }
+    assert true_pairs, "degenerate fixture: no true near-dup pairs survive stage 1"
+    missed = true_pairs - set(refined)
+    assert not missed, f"stage-2 refinement dropped true pairs: {sorted(missed)[:5]}"
+    assert all(0.0 <= e <= 1.0 for e in refined.values())
