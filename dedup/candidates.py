@@ -216,3 +216,123 @@ def simhash_candidates_arrow(
 
     out = part.mapInArrow(run, schema="src long, dst long")
     return out.dropDuplicates(["src", "dst"]) if dedupe else out
+
+
+def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """LSH bucket pairing with the stage-1 estimate filter fused into a
+    numpy bucket scan — pair-and-est identical to
+    ``est_filter_pairs(lsh_candidates(bands, cfg, dedupe=False), sigs,
+    cfg)`` (parity test in tests/test_verify_arrow.py) but ~10× cheaper:
+    the 40M-pair flood at 500k docs never exists as JVM join-probe rows
+    (~100 ns each, and the worst 8→32-core CPU inflater); it is
+    enumerated as index arrays and killed by vectorized byte compares
+    (~1 ns/pair) inside the task that owns the bucket.
+
+    Input is ``signatures.with_bands_pre`` (band rows carrying the
+    byte-packed MinHash longs). ONE shuffle on (band, band_hash) — hash
+    partitioning keeps every bucket whole; partition count follows
+    spark.sql.shuffle.partitions, so at scale partitions stay bounded
+    by raising that, and a mega-bucket is still enumerated
+    distance-blocked (never a materialized m×m matrix). Output pairs
+    are canonical (src < dst), length-ratio pruned (D4), est ≥ the
+    adaptive floor, NOT pair-distinct (duplicates across bands carry
+    identical estimates; the pipeline dedupes survivors)."""
+    from dedup.verify import est_filter_floor
+
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
+    floor = est_filter_floor(cfg, perms=p)
+    ratio = cfg.jaccard_thresh
+    pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in bands_pre.columns]
+    if len(pres) != 4:
+        raise ValueError("lsh_candidates_arrow needs pre0..pre3 (slim signatures)")
+    part = bands_pre.repartition("band", "band_hash").sortWithinPartitions(
+        "band", "band_hash"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field("src", pa.int64(), False),
+                pa.field("dst", pa.int64(), False),
+                pa.field("est_jacc", pa.float64(), False),
+            ]
+        )
+
+        def empty():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        t = pa.concat_tables(tables).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            yield empty()
+            return
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nsh = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
+        pre = np.column_stack(
+            [t.column(c).to_numpy(zero_copy_only=False).astype(np.int64) for c in pres]
+        ).view(np.uint8)  # (n, 32) little-endian low bytes
+
+        # bucket segmentation (rows arrive sorted by the bucket key)
+        starts = np.flatnonzero(
+            np.diff(band, prepend=band[0] - 1) | np.diff(bh, prepend=bh[0] - 1)
+        )
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        rem = np.repeat(sizes, sizes) - pos  # rows below me in my bucket, +1
+
+        # enumerate every within-bucket pair exactly once as (row, row+d):
+        # row i pairs with i+d iff d < rem[i]. Rows sorted by rem give a
+        # shrinking suffix per distance — total index work = Σ pairs,
+        # with max-bucket-size python iterations (bounded, vectorized).
+        order = np.argsort(rem, kind="stable")
+        rem_sorted = rem[order]
+        srcs, dsts, ests = [], [], []
+        d = 1
+        while True:
+            k = n - np.searchsorted(rem_sorted, d, side="right")
+            if k == 0:
+                break
+            ia = order[n - k :]
+            ib = ia + d
+            lo = np.minimum(nsh[ia], nsh[ib])
+            hi = np.maximum(nsh[ia], nsh[ib])
+            keep = lo >= hi * ratio  # D4 length-ratio prune (exact-safe)
+            if keep.any():
+                ia, ib = ia[keep], ib[keep]
+                eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
+                est = (eq - (32 - p)) / float(p)
+                keep2 = est >= floor
+                if keep2.any():
+                    ia, ib, est = ia[keep2], ib[keep2], est[keep2]
+                    srcs.append(np.minimum(doc[ia], doc[ib]))
+                    dsts.append(np.maximum(doc[ia], doc[ib]))
+                    ests.append(est)
+            d += 1
+        if not srcs:
+            yield empty()
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(srcs)),
+                pa.array(np.concatenate(dsts)),
+                pa.array(np.concatenate(ests)),
+            ],
+            schema=out_schema,
+        )
+
+    return part.mapInArrow(run, schema="src long, dst long, est_jacc double")

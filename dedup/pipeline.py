@@ -23,13 +23,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
-from dedup.candidates import cap_buckets, simhash_candidates_arrow
+from dedup.candidates import (
+    cap_buckets,
+    lsh_candidates_arrow,
+    simhash_candidates_arrow,
+)
 from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
 from dedup.ingest import exact_edges, representatives, to_docs
 from dedup.signatures import (
     with_bands,
+    with_bands_pre,
     with_shingle_signatures,
     with_shingles_np,
     with_slim_signatures,
@@ -128,20 +133,36 @@ def build_edges(
     else:
         sig_sh = with_shingle_signatures(reps, cfg)
     sigs = sig_sh
-    bands = with_bands(sigs, cfg)
-    bands, _hot = cap_buckets(bands, cfg.bucket_cap)
-
-    # salted path when cfg.salt_hot_thresh > 0, plain equi-join otherwise.
-    # Raw (non-distinct) floods from both generators: the est prefilter
-    # runs fused into the join stage (pure codegen, verify.est_filter_pairs)
-    # and the pair-distinct shuffle happens on its survivors only — the
-    # 10-100×-overcomplete flood never crosses a shuffle boundary.
     slim = all(c in sigs.columns for c in ("pre0", "pre1", "pre2", "pre3"))
-    cands = salted_lsh_candidates(bands, cfg, dedupe=False)
-    if use_simhash:
-        cands = cands.union(simhash_candidates_arrow(sigs, cfg, dedupe=False))
-    if slim:
-        cands = est_filter_pairs(cands, sigs, cfg)
+    if slim and cfg.salt_hot_thresh <= 0:
+        # fused numpy bucket scan (candidates.lsh_candidates_arrow):
+        # pairing + stage-1 est filter run inside the task that owns the
+        # bucket — the 10-100×-overcomplete pair flood never exists as
+        # JVM join-probe rows, only as index arrays killed by vectorized
+        # byte compares. ONE shuffle (bucket key); the pair-distinct sees
+        # survivors only. Mega-bucket skew is handled by cap_buckets (a
+        # bucket stays whole in one task); with caps off AND salting
+        # requested, the salted JVM join below is the skew path.
+        bands, _hot = cap_buckets(with_bands_pre(sigs, cfg), cfg.bucket_cap)
+        cands = lsh_candidates_arrow(bands, cfg)
+        if use_simhash:
+            cands = cands.union(
+                est_filter_pairs(
+                    simhash_candidates_arrow(sigs, cfg, dedupe=False), sigs, cfg
+                )
+            )
+    else:
+        # salted path when cfg.salt_hot_thresh > 0, plain equi-join
+        # otherwise. Raw (non-distinct) floods from both generators: the
+        # est prefilter runs fused into the join stage (pure codegen,
+        # verify.est_filter_pairs) and the pair-distinct shuffle happens
+        # on its survivors only.
+        bands, _hot = cap_buckets(with_bands(sigs, cfg), cfg.bucket_cap)
+        cands = salted_lsh_candidates(bands, cfg, dedupe=False)
+        if use_simhash:
+            cands = cands.union(simhash_candidates_arrow(sigs, cfg, dedupe=False))
+        if slim:
+            cands = est_filter_pairs(cands, sigs, cfg)
     cands = cands.dropDuplicates(["src", "dst"])
 
     # exact verification recomputes shingles only for est-passing docs

@@ -376,3 +376,18 @@ def with_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         "n_shingles",
         F.posexplode(arr).alias("band", "band_hash"),
     ).select("doc_id", "band", "band_hash", "n_shingles")
+
+
+def with_bands_pre(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Band explode that carries the stage-1 byte-packed MinHash longs
+    (``pre0..pre3``) alongside each band row — the input of the fused
+    numpy candidate kernel (candidates.lsh_candidates_arrow), which
+    est-filters pairs inside the bucket scan and so needs the bytes
+    co-shuffled with the bucket key. +32 B/row over with_bands."""
+    pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in signatures.columns]
+    return signatures.select(
+        "doc_id",
+        "n_shingles",
+        *pres,
+        F.posexplode(F.col("band_hashes")).alias("band", "band_hash"),
+    ).select("doc_id", "band", "band_hash", "n_shingles", *pres)

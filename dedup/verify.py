@@ -285,6 +285,13 @@ def _exact_jaccard_arrow(withsh: DataFrame) -> DataFrame:
 
 _PRE_COLS = ["pre0", "pre1", "pre2", "pre3"]
 
+#: below this many est-surviving pairs, the text-attach joins run
+#: broadcast-side (ids + pair frame ≲ 100 MB driver-side) instead of
+#: shuffling the docs text column; see verify_jaccard_lazy. Mirrors
+#: components.SMALL_GRAPH_EDGES: a runtime-adaptive scale switch, not a
+#: semantic knob (never changes which pairs verify).
+BROADCAST_PAIRS_MAX = 4_000_000
+
 
 def packed_agreement_expr(p: int, n_longs: int = 4) -> F.Column:
     """Estimate agreement fraction from byte-packed MinHash low bytes
@@ -481,8 +488,36 @@ def verify_jaccard_lazy(
         .union(passed.select(F.col("dst").alias("doc_id")))
         .distinct()
     )
-    texts = docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text")
-    withtext = join_pair_arrays(passed, texts, "norm_text", "t_a", "t_b")
+    # Runtime-adaptive join strategy (the count is ~free: `passed` is
+    # checkpointed). Under AQE a shuffle join materializes EVERY map
+    # side before the strategy can be demoted to broadcast — so the
+    # plain semi-join shuffle-writes the full docs text column (306 MB
+    # at 500k docs) even though the probe side is ~1 MB of ids, and the
+    # pair joins re-shuffle the text again; profiled, that map write
+    # was the worst 8→32-core inflater (scan+write task time 6×). When
+    # the survivor frame is small — the common case after the two-stage
+    # est filter — broadcasting the id set and the pair frame makes the
+    # text scan a map-side filter: ZERO text bytes cross a shuffle
+    # until the ~(pairs × 1 KB) second attach join. Above the
+    # threshold (~100 MB broadcast) the shuffle plan is the right one
+    # and AQE handles it — the 10^12-doc design path.
+    if passed.count() <= BROADCAST_PAIRS_MAX:
+        texts = docs.join(F.broadcast(need), "doc_id", "left_semi").select(
+            "doc_id", "norm_text"
+        )
+        withtext = (
+            texts.join(F.broadcast(passed), F.col("doc_id") == F.col("src"))
+            .select("src", "dst", "est_jacc", F.col("norm_text").alias("t_a"))
+            .join(
+                texts.select(
+                    F.col("doc_id").alias("dst"), F.col("norm_text").alias("t_b")
+                ),
+                "dst",
+            )
+        )
+    else:
+        texts = docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text")
+        withtext = join_pair_arrays(passed, texts, "norm_text", "t_a", "t_b")
     return (
         _exact_jaccard_text_arrow(withtext, cfg)
         .filter(F.col("sim") >= cfg.jaccard_thresh)

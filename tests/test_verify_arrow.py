@@ -189,6 +189,36 @@ def test_est_filter_pairs_matches_late_filter(spark, tiny_pages_df):
     assert fused, "degenerate fixture: no est-passing pairs"
 
 
+def test_lsh_candidates_arrow_matches_sql(spark, tiny_pages_df):
+    """Fused numpy bucket-scan LSH pairing (+ inline stage-1 est filter)
+    == SQL self-join + est_filter_pairs, pair-and-est identical after
+    pair-distinct (the kernel emits per-band duplicates by design)."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_bands, with_bands_pre, with_slim_signatures
+    from dedup.candidates import lsh_candidates, lsh_candidates_arrow
+    from dedup.verify import est_filter_pairs
+
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+    got = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in lsh_candidates_arrow(with_bands_pre(sigs, cfg), cfg)
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    want = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in est_filter_pairs(
+            lsh_candidates(with_bands(sigs, cfg), cfg, dedupe=False), sigs, cfg
+        )
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    assert got == want
+    assert got, "degenerate fixture: no est-passing LSH candidates"
+
+
 def test_slim_signatures_match_full_stage(spark, tiny_pages_df):
     from dedup.config import DEFAULT_CONFIG as cfg
     from dedup.ingest import representatives, to_docs
