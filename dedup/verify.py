@@ -162,13 +162,18 @@ def _str_col_np(txt, n: int):
     return data, offsets
 
 
-def _jaccard_from_flat(va, oa, vb, ob, n: int) -> np.ndarray:
-    """Per-row exact Jaccard of two segmented uint64 hash arrays
-    (ascending per segment, UNSIGNED order — see hash_char_kgrams)."""
+def _jaccard_indexed(
+    vals: np.ndarray, offs: np.ndarray, ia: np.ndarray, ib: np.ndarray
+) -> np.ndarray:
+    """Per-pair exact Jaccard where both sides index segments of ONE
+    shared flat uint64 hash buffer (``vals`` segmented by ``offs``,
+    ascending UNSIGNED per segment — see hash_char_kgrams). ``ia[i]`` /
+    ``ib[i]`` are the segment indices of pair i's two sides."""
+    n = len(ia)
     sim = np.empty(n, dtype=np.float64)
     for i in range(n):
-        a = va[oa[i] : oa[i + 1]]
-        b = vb[ob[i] : ob[i + 1]]
+        a = vals[offs[ia[i]] : offs[ia[i] + 1]]
+        b = vals[offs[ib[i]] : offs[ib[i] + 1]]
         if len(a) > len(b):
             a, b = b, a
         if len(a) == 0:
@@ -194,7 +199,15 @@ def _exact_jaccard_text_arrow(withtext: DataFrame, cfg: DedupConfig) -> DataFram
     worst-scaling (DRAM-bound) data movement, by that factor, and the
     separate est-survivor shingle materialization stage disappears.
     Re-hashing costs one extra kernel pass per pair side, which scales
-    near-linearly with cores (blocked kernel), unlike shuffle bytes."""
+    near-linearly with cores (blocked kernel), unlike shuffle bytes.
+
+    Hashing is memoized BY DOC ID within each Arrow batch: a doc in a
+    dup cluster of size m appears in up to m-1 surviving pairs, so the
+    naive two-passes-per-pair kernel re-hashes hot docs many times.
+    One np.unique over the batch's (src ∪ dst) ids gathers each unique
+    doc's bytes once, hashes once, and every pair row intersects views
+    into the shared flat hash buffer (ids are content-sha
+    representatives, so equal id ⇒ identical text by construction)."""
     import pyarrow as pa
 
     from dedup.hashing import hash_char_kgrams
@@ -206,15 +219,28 @@ def _exact_jaccard_text_arrow(withtext: DataFrame, cfg: DedupConfig) -> DataFram
             n = rb.num_rows
             if n == 0:
                 continue
-            da, toa = _str_col_np(rb.column(rb.schema.get_field_index("t_a")), n)
-            db, tob = _str_col_np(rb.column(rb.schema.get_field_index("t_b")), n)
-            fa, la = hash_char_kgrams(da, toa, k)
-            fb, lb = hash_char_kgrams(db, tob, k)
-            oa = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(la, out=oa[1:])
-            ob = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lb, out=ob[1:])
-            sim = _jaccard_from_flat(fa, oa, fb, ob, n)
+            idx = rb.schema.get_field_index
+            src = rb.column(idx("src")).to_numpy(zero_copy_only=False)
+            dst = rb.column(idx("dst")).to_numpy(zero_copy_only=False)
+            da, toa = _str_col_np(rb.column(idx("t_a")), n)
+            db, tob = _str_col_np(rb.column(idx("t_b")), n)
+            uniq, first, inv = np.unique(
+                np.concatenate([src, dst]), return_index=True, return_inverse=True
+            )
+            u = len(uniq)
+            lens = np.concatenate([toa[1:] - toa[:-1], tob[1:] - tob[:-1]])[first]
+            uo = np.zeros(u + 1, dtype=np.int64)
+            np.cumsum(lens, out=uo[1:])
+            buf = np.empty(int(uo[-1]), dtype=np.uint8)
+            for j in range(u):
+                f = first[j]
+                s = toa[f] if f < n else tob[f - n]
+                d = da if f < n else db
+                buf[uo[j] : uo[j + 1]] = d[s : s + lens[j]]
+            flat, lcnt = hash_char_kgrams(buf, uo, k)
+            ho = np.zeros(u + 1, dtype=np.int64)
+            np.cumsum(lcnt, out=ho[1:])
+            sim = _jaccard_indexed(flat, ho, inv[:n], inv[n:])
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(rb.schema.get_field_index("src")),
