@@ -19,10 +19,19 @@ from pyspark.sql import functions as F
 from dedup.config import DedupConfig
 
 
+def _bucket_keys(bands: DataFrame) -> list[str]:
+    """Bucket identity columns: (band, band_hash) for the SQL band frame,
+    band_hash alone for the slim arrow path (the band index is folded
+    into the hash — see signatures.with_bands_pre)."""
+    return [c for c in ("band", "band_hash") if c in bands.columns]
+
+
 def bucket_stats(bands: DataFrame) -> DataFrame:
-    """Bucket sizes per (band, band_hash) — drives cap/salt decisions
-    and the hot-bucket metrics."""
-    return bands.groupBy("band", "band_hash").agg(F.count("*").alias("bucket_size"))
+    """Bucket sizes per bucket key — drives cap/salt decisions and the
+    hot-bucket metrics."""
+    return bands.groupBy(*_bucket_keys(bands)).agg(
+        F.count("*").alias("bucket_size")
+    )
 
 
 def cap_buckets(bands: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
@@ -32,11 +41,10 @@ def cap_buckets(bands: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
     (SURVEY §4.2) — the recall gate runs with caps off."""
     if cap <= 0:
         return bands, bucket_stats(bands).filter(F.lit(False))
+    keys = _bucket_keys(bands)
     stats = bucket_stats(bands)
     hot = stats.filter(F.col("bucket_size") > cap)
-    kept = bands.join(
-        F.broadcast(hot.select("band", "band_hash")), ["band", "band_hash"], "left_anti"
-    )
+    kept = bands.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
     return kept, hot
 
 
@@ -143,20 +151,18 @@ def simhash_candidates_arrow(
     width = cfg.simhash_bits // n_chunks
     h = cfg.hamming_thresh
     ratio = cfg.jaccard_thresh
-    chunks = F.expr(
+    # one composite key per chunk row: (idx << width) | val — an exact
+    # bijection with (idx, val) since val < 2^width, so bucket identity
+    # is unchanged but the shuffle ships/sorts one long instead of two
+    chunk_keys = F.expr(
         f"transform(sequence(0, {n_chunks - 1}),"
-        f" i -> struct(i as idx, shiftright(simhash, i*{width}) & {(1 << width) - 1} as val))"
+        f" i -> shiftleft(cast(i as bigint), {width})"
+        f"      | (shiftright(simhash, i*{width}) & {(1 << width) - 1}))"
     )
     ex = signatures.select(
-        "doc_id", "simhash", "n_shingles", F.explode(chunks).alias("c")
-    ).select(
-        "doc_id",
-        "simhash",
-        "n_shingles",
-        F.col("c.idx").alias("idx"),
-        F.col("c.val").alias("val"),
+        "doc_id", "simhash", "n_shingles", F.explode(chunk_keys).alias("ck")
     )
-    part = ex.repartition("idx", "val").sortWithinPartitions("idx", "val")
+    part = ex.repartition("ck").sortWithinPartitions("ck")
 
     def run(batches):
         import numpy as np
@@ -171,9 +177,8 @@ def simhash_candidates_arrow(
         if not tables:
             return
         t = pa.concat_tables(tables).combine_chunks()
-        idx = t.column("idx").to_numpy(zero_copy_only=False).astype(np.int64)
-        val = t.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
-        # partition rows arrive sorted by (idx, val) — sortWithinPartitions
+        ck = t.column("ck").to_numpy(zero_copy_only=False).astype(np.int64)
+        # partition rows arrive sorted by ck — sortWithinPartitions
         doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sim = (
             t.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -185,9 +190,7 @@ def simhash_candidates_arrow(
                 [pa.array([], type=pa.int64())] * 2, schema=out_schema
             )
             return
-        bounds = np.flatnonzero(
-            np.diff(idx, prepend=idx[0] - 1) | np.diff(val, prepend=val[0] - 1)
-        )
+        bounds = np.flatnonzero(np.diff(ck, prepend=ck[0] - 1))
         bounds = np.append(bounds, n)
         srcs, dsts = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
@@ -245,9 +248,10 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
     pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in bands_pre.columns]
     if len(pres) != 4:
         raise ValueError("lsh_candidates_arrow needs pre0..pre3 (slim signatures)")
-    part = bands_pre.repartition("band", "band_hash").sortWithinPartitions(
-        "band", "band_hash"
-    )
+    # bucket identity is band_hash alone (band index folded into the
+    # hash — signatures.with_bands_pre); one less long per row through
+    # the pipeline's biggest exploded shuffle and a single-key sort
+    part = bands_pre.repartition("band_hash").sortWithinPartitions("band_hash")
 
     def run(batches):
         import numpy as np
@@ -279,7 +283,6 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
         if n == 0:
             yield empty()
             return
-        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         nsh = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -288,9 +291,7 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
         ).view(np.uint8)  # (n, 32) little-endian low bytes
 
         # bucket segmentation (rows arrive sorted by the bucket key)
-        starts = np.flatnonzero(
-            np.diff(band, prepend=band[0] - 1) | np.diff(bh, prepend=bh[0] - 1)
-        )
+        starts = np.flatnonzero(np.diff(bh, prepend=bh[0] - 1))
         sizes = np.diff(np.append(starts, n))
         pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
         rem = np.repeat(sizes, sizes) - pos  # rows below me in my bucket, +1

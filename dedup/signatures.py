@@ -383,11 +383,19 @@ def with_bands_pre(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     (``pre0..pre3``) alongside each band row — the input of the fused
     numpy candidate kernel (candidates.lsh_candidates_arrow), which
     est-filters pairs inside the bucket scan and so needs the bytes
-    co-shuffled with the bucket key. +32 B/row over with_bands."""
+    co-shuffled with the bucket key. +32 B/row over with_bands.
+
+    No ``band`` column: band_hash = xxhash64(band_index, slice) already
+    folds the band index in, so bucket identity IS the hash — carrying
+    the index through the pipeline's biggest exploded shuffle (b rows
+    per doc) would be 8 dead bytes per row. A cross-band 64-bit
+    collision (odds ~(b·n)²/2⁶⁴) merely merges two buckets, i.e. ADDS
+    candidate pairs; candidates only ever become edges through exact
+    Jaccard verification, so the final edge set is unchanged."""
     pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in signatures.columns]
     return signatures.select(
         "doc_id",
         "n_shingles",
         *pres,
-        F.posexplode(F.col("band_hashes")).alias("band", "band_hash"),
-    ).select("doc_id", "band", "band_hash", "n_shingles", *pres)
+        F.explode(F.col("band_hashes")).alias("band_hash"),
+    )
