@@ -55,15 +55,46 @@ def read_pages_jdbc(
     return reader.load()
 
 
+def _asof_tiebreak(pages: DataFrame) -> F.Column:
+    """Deterministic tie-break for equal warc_ts: xxhash64 over the
+    content columns present. row_number with a non-total order is
+    partition-order-dependent — a silent determinism bug under ties
+    (SURVEY §4.2 demands partitioning-independent outputs)."""
+    cols = [c for c in ("text", "lang", "html") if c in pages.columns]
+    return F.xxhash64(*cols) if cols else F.lit(0)
+
+
 def asof_latest(pages: DataFrame) -> DataFrame:
-    """One row per url: the latest capture by warc_ts (ties → the row is
-    unique by construction of row_number). Spark has no native as-of
-    join; ranking window is the idiom (SURVEY §2 D7)."""
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    """One row per url: the latest capture by warc_ts, ties broken by a
+    deterministic content hash. Spark has no native as-of join; ranking
+    window is the idiom (SURVEY §2 D7)."""
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(_asof_tiebreak(pages))
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def latest_by_url(pages: DataFrame) -> DataFrame:
+    """Aggregation twin of ``asof_latest`` for (url, warc_ts, lang, text)
+    frames — same winning row (asserted by test), different physical
+    plan: ``max_by`` over a (warc_ts, content-hash) ordering struct runs
+    as a hash aggregate with MAP-SIDE partial combine, so at crawl scale
+    (many captures per url) each task pre-collapses its local captures
+    and the shuffle carries ~one row per (url × task), where the ranking
+    window must shuffle every capture to sort it. Null warc_ts rows
+    lose to any non-null (epoch-0 coalesce in the ordering key only)."""
+    ordk = F.struct(
+        F.coalesce(F.col("warc_ts"), F.to_timestamp(F.lit("1970-01-01"))).alias("ts"),
+        _asof_tiebreak(pages).alias("tb"),
+    )
+    return (
+        pages.groupBy("url")
+        .agg(F.max_by(F.struct("warc_ts", "lang", "text"), ordk).alias("s"))
+        .select("url", "s.warc_ts", "s.lang", "s.text")
     )
 
 
@@ -95,7 +126,7 @@ def to_docs(pages: DataFrame, cfg: DedupConfig, recompute_text: bool = False) ->
             .otherwise(F.col("text"))
             .alias("text"),
         )
-        latest = asof_latest(pre)
+        latest = latest_by_url(pre)
     return (
         latest.select("url", "warc_ts", "lang", "text")
         .withColumn("doc_id", F.xxhash64("url"))

@@ -138,3 +138,43 @@ def test_cc_single_task_equals_loop(spark):
             by_cluster.setdefault(c, []).append(doc)
         for c, members in by_cluster.items():
             assert c == min(members)
+
+
+def test_latest_by_url_equals_asof_window(spark):
+    """The map-side-combinable ``max_by`` latest-capture pick must choose
+    exactly the window idiom's winner — including duplicate urls, equal
+    warc_ts (content-hash tie-break), and null-timestamp captures."""
+    from datetime import datetime
+
+    from dedup.ingest import asof_latest, latest_by_url
+
+    rows = [
+        # plain: later ts wins
+        ("u1", datetime(2024, 1, 1), "en", "old text"),
+        ("u1", datetime(2024, 3, 1), "en", "new text"),
+        # tie on ts: deterministic content-hash tie-break
+        ("u2", datetime(2024, 2, 2), "en", "tie capture a"),
+        ("u2", datetime(2024, 2, 2), "de", "tie capture b"),
+        # null ts loses to any non-null
+        ("u3", None, "en", "null-ts text"),
+        ("u3", datetime(2023, 5, 5), "en", "dated text"),
+        # all-null ts still yields one deterministic row
+        ("u4", None, "en", "only a"),
+        ("u4", None, "fr", "only b"),
+        # singleton passthrough
+        ("u5", datetime(2024, 6, 6), "en", "single"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, lang string, text string")
+    cols = ["url", "warc_ts", "lang", "text"]
+    win = {tuple(r) for r in asof_latest(df).select(*cols).collect()}
+    agg = {tuple(r) for r in latest_by_url(df).select(*cols).collect()}
+    assert agg == win
+    assert len(agg) == 5
+    # shuffling input order/partitioning must not change the winners
+    agg2 = {
+        tuple(r)
+        for r in latest_by_url(df.orderBy(F.desc("text")).repartition(7))
+        .select(*cols)
+        .collect()
+    }
+    assert agg2 == win
