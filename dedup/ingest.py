@@ -163,16 +163,27 @@ def exact_edges(docs: DataFrame) -> DataFrame:
     )
 
 
-def representatives(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def representatives(
+    docs: DataFrame, cfg: DedupConfig, broadcast_ids: bool = False
+) -> DataFrame:
     """One doc per content_sha (the min-doc_id member), long enough to
-    shingle. Only these rows flow into signatures/LSH."""
-    groups = exact_groups(docs)
+    shingle. Only these rows flow into signatures/LSH.
+
+    ``broadcast_ids``: hint-broadcast the canon-id frame. Without it the
+    left-semi join shuffles the full docs side — AQE materializes every
+    shuffle-join map side before it can demote to broadcast, so the text
+    column (the bulk of the bytes) gets shuffled even when the id frame
+    is tiny at runtime (same pathology as verify.BROADCAST_PAIRS_MAX).
+    Callers that know the rep count is bounded (pipeline counts the
+    materialized docs frame) pass True and the docs text never crosses a
+    shuffle. At cluster scale with billions of reps leave it False and
+    rely on bucketed table layout (SURVEY §4.3) for the co-located join.
+    """
+    ids = exact_groups(docs).select(F.col("canon_id").alias("doc_id"))
+    if broadcast_ids:
+        ids = F.broadcast(ids)
     return (
-        docs.join(
-            groups.select(F.col("canon_id").alias("doc_id")),
-            "doc_id",
-            "left_semi",
-        )
+        docs.join(ids, "doc_id", "left_semi")
         .filter(F.col("n_chars") >= cfg.min_text_len)
         .select("doc_id", "norm_text", "n_chars")
     )

@@ -56,6 +56,11 @@ def _cleanup_spills() -> None:
 
 atexit.register(_cleanup_spills)
 
+#: broadcast the rep-id frame (8 B/row) below this many docs — 20M ids
+#: ≈ 160 MB broadcast, comfortably inside executor memory; beyond that
+#: fall back to the shuffle join (bucketed layout at real scale)
+BROADCAST_REP_IDS_MAX = 20_000_000
+
 
 @contextmanager
 def job_desc(spark, desc: str):
@@ -112,7 +117,15 @@ def build_edges(
     """docs → (edges, signatures, shingles). Candidate generators are
     unioned pre-verification; 'exact' edges bypass verification (they
     are definitionally sim=1)."""
-    reps = representatives(docs, cfg)
+    # Hint-broadcast the rep-id frame when the doc count is known small:
+    # without the hint the left-semi join map-writes the full docs text
+    # column before AQE can demote it (306 MB at 500k docs, ~77 task-s of
+    # shuffle write). In the persist path docs is parquet-backed, so the
+    # count is a metadata-only job. Above the cap (or for lazy callers)
+    # the safe shuffle join stands — at cluster scale the co-location
+    # comes from bucketed table layout instead (SURVEY §4.3).
+    bcast_ids = persist and docs.count() <= BROADCAST_REP_IDS_MAX
+    reps = representatives(docs, cfg, broadcast_ids=bcast_ids)
     # fused stage: shingle hashing + minhash + simhash in ONE Arrow
     # crossing (signatures.with_shingle_signatures) — the JVM shingle
     # expression + separate cache + separate UDF measured ~2× this cost
