@@ -77,15 +77,15 @@ def _event_files(evdir: str) -> list[str]:
 
 
 def _open_events(path: str):
-    """Event files may be zstd-compressed (rolling log default)."""
+    """Event files may be zstd-compressed (rolling log default). Use
+    pyarrow's bundled zstd (no `zstd` binary on this host)."""
     if path.endswith(".zstd"):
         import io
-        import subprocess
 
-        out = subprocess.run(
-            ["zstd", "-dc", path], capture_output=True, check=True
-        ).stdout
-        return io.StringIO(out.decode())
+        import pyarrow as pa
+
+        with pa.input_stream(path, compression="zstd") as s:
+            return io.StringIO(s.read().decode())
     return open(path)
 
 

@@ -42,6 +42,23 @@ def get_spark(
     master = master or f"local[{cpus}]"
     local_dir = os.path.join(scratch_dir(), "spark-local")
     os.makedirs(local_dir, exist_ok=True)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    # Pin + pre-touch the heap and back it with transparent huge pages:
+    # a multi-GB G1 heap that grows/shrinks on demand pays kernel-side
+    # page-fault + TLB-shootdown costs on every expansion and every
+    # uncommit/refault cycle, billed as task CPU and GC time. Measured on
+    # the 500k-doc pipeline at local[32]: no flags 154 s warm, -Xms+
+    # AlwaysPreTouch 57 s, +UseTransparentHugePages 32 s — and run-to-run
+    # variance collapsed (system-CPU share of the run dropped from ~60%).
+    # THP is madvise-mode on this host, so the JVM must opt in; pretouch
+    # happens once at JVM start (cold path). Same flags are what you'd
+    # set via spark-submit --driver-java-options on a real cluster
+    # (executors: spark.executor.extraJavaOptions).
+    jvm_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages"
+    extra_conf = dict(extra_conf or {})
+    user_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")
+    if user_opts:
+        jvm_opts = f"{jvm_opts} {user_opts}"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -61,7 +78,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # shuffle write path: 1 MB file buffers (default 32k) cut
         # per-record syscall/flush overhead ~30×; profiled shuffle-write
