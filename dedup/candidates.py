@@ -162,7 +162,11 @@ def simhash_candidates_arrow(
     ex = signatures.select(
         "doc_id", "simhash", "n_shingles", F.explode(chunk_keys).alias("ck")
     )
-    part = ex.repartition("ck").sortWithinPartitions("ck")
+    # hash-partition only — NO JVM sortWithinPartitions: the row-pointer
+    # external sort is DRAM-latency-bound and its CPU time inflated ~3.5×
+    # going 4→16 local cores on identical input (profiled); the kernel
+    # groups its partition with one cache-friendly numpy argsort instead
+    part = ex.repartition("ck")
 
     def run(batches):
         import numpy as np
@@ -178,12 +182,16 @@ def simhash_candidates_arrow(
             return
         t = pa.concat_tables(tables).combine_chunks()
         ck = t.column("ck").to_numpy(zero_copy_only=False).astype(np.int64)
-        # partition rows arrive sorted by ck — sortWithinPartitions
         doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sim = (
             t.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
         ).view(np.uint64)
         nsh = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
+        # group equal keys in-kernel (rows arrive hash-partitioned but
+        # unordered); pair enumeration is order-insensitive within a
+        # bucket, so any sort kind yields the identical pair set
+        order = np.argsort(ck)
+        ck, doc, sim, nsh = ck[order], doc[order], sim[order], nsh[order]
         n = len(doc)
         if n == 0:
             yield pa.RecordBatch.from_arrays(
@@ -249,9 +257,12 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
     if len(pres) != 4:
         raise ValueError("lsh_candidates_arrow needs pre0..pre3 (slim signatures)")
     # bucket identity is band_hash alone (band index folded into the
-    # hash — signatures.with_bands_pre); one less long per row through
-    # the pipeline's biggest exploded shuffle and a single-key sort
-    part = bands_pre.repartition("band_hash").sortWithinPartitions("band_hash")
+    # hash — signatures.with_bands_pre). Hash-partition only — NO JVM
+    # sortWithinPartitions: the row-pointer external sort over the 8M-row
+    # explode is DRAM-latency-bound and its CPU time inflated ~3.5× going
+    # 4→16 local cores on identical input (profiled); the kernel groups
+    # its partition with one cache-friendly numpy argsort instead
+    part = bands_pre.repartition("band_hash")
 
     def run(batches):
         import numpy as np
@@ -289,8 +300,13 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
         pre = np.column_stack(
             [t.column(c).to_numpy(zero_copy_only=False).astype(np.int64) for c in pres]
         ).view(np.uint8)  # (n, 32) little-endian low bytes
+        # group equal keys in-kernel (rows arrive hash-partitioned but
+        # unordered); pair enumeration is order-insensitive within a
+        # bucket, so any sort kind yields the identical pair set
+        order_k = np.argsort(bh)
+        bh, doc, nsh, pre = bh[order_k], doc[order_k], nsh[order_k], pre[order_k]
 
-        # bucket segmentation (rows arrive sorted by the bucket key)
+        # bucket segmentation over the grouped keys
         starts = np.flatnonzero(np.diff(bh, prepend=bh[0] - 1))
         sizes = np.diff(np.append(starts, n))
         pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
