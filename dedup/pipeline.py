@@ -75,6 +75,17 @@ def job_desc(spark, desc: str):
         sc.setJobDescription(prev)
 
 
+#: rows per spill file — decouples downstream task grain from the
+#: parallelism of the run that WROTE the spill. Without it a local[8]
+#: run writes ~11 fat files, and every later scan (including the hot
+#: signature kernel) is stuck with ≤11 tasks whatever the session's
+#: core count — profiled as a 1.4-ragged-wave stage costing ~10 s of
+#: wall at 500k docs. 8192-row files (~5 MB of docs) give every level
+#: even waves. Local-bench knob only: at cluster scale the spill is a
+#: TableIO commit whose bucketed layout fixes file counts explicitly.
+SPILL_MAX_RECORDS_PER_FILE = int(os.environ.get("DEDUP_SPILL_ROWS_PER_FILE", 8192))
+
+
 def _spill(df: DataFrame, name: str) -> DataFrame:
     """Materialize via a parquet round-trip in a scratch dir (vectorized
     writer/reader — far cheaper than the columnar in-memory cache for
@@ -91,7 +102,9 @@ def _spill(df: DataFrame, name: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix=f"dedup-spill-{name}-", dir=base)
     _SPILL_DIRS.append(d)
     with job_desc(df.sparkSession, f"dedup: spill {name}"):
-        df.write.mode("overwrite").parquet(d)
+        df.write.option(
+            "maxRecordsPerFile", SPILL_MAX_RECORDS_PER_FILE
+        ).mode("overwrite").parquet(d)
         return df.sparkSession.read.parquet(d)
 
 

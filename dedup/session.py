@@ -52,6 +52,20 @@ def _tune_worker_malloc() -> None:
     os.environ.setdefault("MALLOC_TOP_PAD_", str(128 * 1024 * 1024))
 
 
+def _is_tmpfs(path: str) -> bool:
+    """True when ``path`` is RAM-backed (tmpfs/ramfs) — decides whether
+    shuffle compression buys anything (see get_spark)."""
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["stat", "-f", "-c", "%T", path], capture_output=True, text=True
+        )
+        return out.stdout.strip() in ("tmpfs", "ramfs")
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "pyspark-webdedup",
     master: str | None = None,
@@ -75,7 +89,10 @@ def get_spark(
     # happens once at JVM start (cold path). Same flags are what you'd
     # set via spark-submit --driver-java-options on a real cluster
     # (executors: spark.executor.extraJavaOptions).
-    jvm_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages"
+    jvm_opts = os.environ.get(
+        "DEDUP_JVM_OPTS",
+        f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages",
+    )
     extra_conf = dict(extra_conf or {})
     user_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")
     if user_opts:
@@ -109,12 +126,42 @@ def get_spark(
         # bandwidth. Larger lz4 blocks amortize the compressor the same
         # way. Memory cost: 1 MB × concurrent shuffle-map tasks, trivial
         # against the driver heap.
+        # scan-split grain: 16 MB split target so a few-hundred-MB spill
+        # or input table fans out to ~2 waves at local[32] instead of a
+        # handful of 128 MB fat tasks (pairs with the spill writer's
+        # maxRecordsPerFile — parquet can't split below a row group, so
+        # files must be small for this to bite). On a real cluster the
+        # inputs are TB-scale and the default 128 MB grain is right —
+        # spark-submit overrides these like every other session conf.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.shuffle.file.buffer", "1m")
         .config("spark.shuffle.unsafe.file.output.buffer", "1m")
         .config("spark.shuffle.spill.diskWriteBufferSize", "1m")
         .config("spark.io.compression.lz4.blockSize", "512k")
+        # ALWAYS use the sort-based (Unsafe) shuffle writer, never the
+        # bypass-merge one. Below the default bypassMergeThreshold (200)
+        # a non-aggregating shuffle opens one stream PER REDUCE PARTITION
+        # per map task — at 64 partitions × 32 local tasks that is ~2k
+        # concurrent streams × (1 MB file buffer + lz4 buffers) of
+        # allocation churn, profiled as 5-60× task-time inflation on the
+        # pipeline's exchange stages at local[32] (the single worst
+        # scaling pathology found; fixing it took the 500k-doc warm run
+        # 49 s → 29 s). A real cluster runs shuffle.partitions ≫ 200, so
+        # the sort writer is the at-scale code path anyway — this just
+        # stops the sandbox's 64-partition shuffles falling into a
+        # writer the design target would never use.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "4")
         .config("spark.local.dir", local_dir)
     )
+    if _is_tmpfs(local_dir):
+        # Shuffle files live in RAM: lz4 here only burns the shared
+        # memory bandwidth the kernels need (measured 49 → 35 s warm at
+        # local[32] from this alone; combined with the sort writer,
+        # 27 s). On a real cluster shuffle crosses disks + network and
+        # compression pays for itself — the default (on) stands there
+        # because local.dir is then a real disk.
+        b = b.config("spark.shuffle.compress", "false")
+        b = b.config("spark.shuffle.spill.compress", "false")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
