@@ -115,13 +115,26 @@ def to_docs(pages: DataFrame, cfg: DedupConfig, recompute_text: bool = False) ->
         # enters the window shuffle — it is dead weight after the
         # null-fill. The fill is per-row, so pre- vs post-window is
         # semantically identical; it only runs on null-text rows.
+        #
+        # The UDF's INPUT is gated, not just the result: Catalyst's
+        # ExtractPythonUDFs hoists a pandas UDF out of when/otherwise
+        # and evaluates it for EVERY row, so `when(cond, udf(html))`
+        # still ships the full html column through Arrow and runs the
+        # extractor on rows whose text is already trusted (profiled:
+        # the whole cost of this stage on an all-trusted corpus).
+        # Nulling the input keeps the hoisted evaluation ~free — Arrow
+        # ships a null mask, extract_text(None) returns immediately —
+        # while the outer when() preserves the exact null semantics.
+        extracted = extract_text_udf(
+            F.when(F.col("text").isNull(), F.col("html"))
+        )
         pre = pages.select(
             "url",
             "warc_ts",
             "lang",
             F.when(
                 F.col("text").isNull() & F.col("html").isNotNull(),
-                extract_text_udf(F.col("html")),
+                extracted,
             )
             .otherwise(F.col("text"))
             .alias("text"),
