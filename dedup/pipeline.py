@@ -39,7 +39,12 @@ from dedup.signatures import (
     with_shingles_np,
     with_slim_signatures,
 )
-from dedup.verify import est_filter_pairs, verify_containment, verify_jaccard_lazy
+from dedup.verify import (
+    BROADCAST_SIGS_MAX,
+    est_filter_pairs,
+    verify_containment,
+    verify_jaccard_lazy,
+)
 
 
 #: spill dirs created by this process — removed at interpreter exit so
@@ -137,7 +142,11 @@ def build_edges(
     # count is a metadata-only job. Above the cap (or for lazy callers)
     # the safe shuffle join stands — at cluster scale the co-location
     # comes from bucketed table layout instead (SURVEY §4.3).
-    bcast_ids = persist and docs.count() <= BROADCAST_REP_IDS_MAX
+    n_docs = docs.count() if persist else None
+    bcast_ids = persist and n_docs <= BROADCAST_REP_IDS_MAX
+    # the slim signature frame (~136 B/doc) is broadcastable far below
+    # the 8 B/doc id frame's cap — separate threshold (verify.py)
+    bcast_sigs = persist and n_docs <= BROADCAST_SIGS_MAX
     reps = representatives(docs, cfg, broadcast_ids=bcast_ids)
     # fused stage: shingle hashing + minhash + simhash in ONE Arrow
     # crossing (signatures.with_shingle_signatures) — the JVM shingle
@@ -193,7 +202,9 @@ def build_edges(
 
     # exact verification recomputes shingles only for est-passing docs
     # (with_shingles_np) — the full shingle table is never materialized
-    near = verify_jaccard_lazy(cands, docs, cfg, signatures=sigs)
+    near = verify_jaccard_lazy(
+        cands, docs, cfg, signatures=sigs, broadcast_sigs=bcast_sigs
+    )
     # lazy shingles frame, API compat for callers that want it
     shingles = with_shingles_np(reps, cfg)
     # the union is duplicate-free by construction, no pair-distinct

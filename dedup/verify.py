@@ -387,8 +387,23 @@ def _all_pre_cols(signatures: DataFrame) -> list[str]:
     return sorted(cols, key=lambda c: int(c[3:]))
 
 
+#: broadcast the slim signature frame into the refine joins below this
+#: many docs: ~136 B/doc byte-packed → ≤ ~140 MB build side. Same
+#: rationale as BROADCAST_PAIRS_MAX — AQE materializes every
+#: shuffle-join map side before it can demote to broadcast, so without
+#: the hint the DISTINCT pair frame and both signature projections each
+#: cross a shuffle (two exchanges + a block-copy checkpoint of the
+#: joined width, ~45 task-s at 500k docs/local[32]) even though the
+#: build side is known-small at runtime. Beyond the cap the shuffle
+#: plan is correct — at 10^12 docs signatures are bucketed table state.
+BROADCAST_SIGS_MAX = 1_000_000
+
+
 def refine_est_pairs(
-    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    broadcast_sigs: bool = False,
 ) -> DataFrame:
     """Second-stage pair pruning on the DISTINCT stage-1 survivors,
     before any text is shipped: re-estimate agreement over the FULL
@@ -419,6 +434,8 @@ def refine_est_pairs(
     ratio_ok = F.least("n_a", "n_b").cast("double") >= F.lit(
         float(cfg.jaccard_thresh)
     ) * F.greatest("n_a", "n_b").cast("double")
+    if broadcast_sigs:
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
     return (
         pairs.join(fa, "src")
         .join(fb, "dst")
@@ -435,6 +452,7 @@ def verify_jaccard_lazy(
     docs: DataFrame,
     cfg: DedupConfig,
     signatures: DataFrame,
+    broadcast_sigs: bool = False,
 ) -> DataFrame:
     """Candidate pairs → verified 'near' edges, recomputing shingles only
     for docs that survive the MinHash-estimate pre-filter — from TEXT,
@@ -467,7 +485,9 @@ def verify_jaccard_lazy(
         # its floor rejects most borderline pairs that would otherwise
         # ship text into the exact-verify kernel.
         if len(_all_pre_cols(signatures)) > 4:
-            est_frame = refine_est_pairs(pairs.drop("est_jacc"), signatures, cfg)
+            est_frame = refine_est_pairs(
+                pairs.drop("est_jacc"), signatures, cfg, broadcast_sigs=broadcast_sigs
+            )
         else:
             est_frame = pairs
         floor = None
