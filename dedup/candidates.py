@@ -239,6 +239,265 @@ def simhash_candidates_arrow(
     return out.dropDuplicates(["src", "dst"]) if dedupe else out
 
 
+def _pair_blocks(key):
+    """Yield (ia, ib) index-array blocks enumerating every within-bucket
+    pair of rows grouped by ``key`` (equal keys contiguous) exactly once
+    as (row, row+d): row i pairs with i+d iff d < rem[i]. Rows sorted by
+    rem give a shrinking suffix per distance — total index work = Σ
+    pairs, with max-bucket-size python iterations (bounded, vectorized).
+    Shared by all three candidate kernels so the enumeration exists
+    once."""
+    import numpy as np
+
+    n = len(key)
+    starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
+    sizes = np.diff(np.append(starts, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    rem = np.repeat(sizes, sizes) - pos  # rows below me in my bucket, +1
+    order = np.argsort(rem, kind="stable")
+    rem_sorted = rem[order]
+    d = 1
+    while True:
+        k = n - np.searchsorted(rem_sorted, d, side="right")
+        if k == 0:
+            return
+        ia = order[n - k :]
+        yield ia, ia + d
+        d += 1
+
+
+def sig_lookup_arrays(signatures: DataFrame) -> dict:
+    """Driver-side collect of the slim signature frame into doc_id-sorted
+    numpy lookup arrays — the broadcast sideband of the ``*_lookup``
+    candidate kernels. ~56 B/doc (id + n_shingles + simhash + 32
+    byte-packed MinHash low bytes): ≤ ~56 MB at the 1M-doc
+    BROADCAST_SIGS_MAX gate. Beyond the gate the kernels' shuffle-path
+    twins carry the metadata through the exchange instead (the 10^12-doc
+    design path — no driver collect at scale)."""
+    import numpy as np
+
+    pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in signatures.columns]
+    tbl = signatures.select("doc_id", "n_shingles", "simhash", *pres).toArrow()
+
+    def col(name, dtype):
+        return tbl.column(name).to_numpy(zero_copy_only=False).astype(dtype)
+
+    ids = col("doc_id", np.int64)
+    order = np.argsort(ids)
+    pre = np.column_stack([col(c, np.int64) for c in pres])[order]
+    return {
+        "ids": ids[order],
+        "nsh": col("n_shingles", np.int64)[order],
+        "sim": col("simhash", np.int64)[order],
+        # (n, 32) little-endian low bytes, row-aligned with ids
+        "pre": np.ascontiguousarray(pre).view(np.uint8),
+    }
+
+
+def lsh_candidates_lookup(
+    signatures: DataFrame, lookup_bc, cfg: DedupConfig, cap: int = 0
+) -> DataFrame:
+    """Broadcast-sideband twin of ``lsh_candidates_arrow`` — identical
+    (pair, est) output (parity test in tests/test_verify_arrow.py), but
+    the band-explode exchange ships ONLY (band_hash, doc_id) rows: 16 B
+    instead of 56 B. The per-doc metadata the bucket scan needs
+    (n_shingles for the D4 ratio prune, the byte-packed MinHash longs
+    for the fused stage-1 est filter) comes from ``lookup_bc`` (a
+    ``sig_lookup_arrays`` broadcast) via one vectorized searchsorted.
+
+    Why: the explode is b rows/doc — the pipeline's biggest exchange —
+    and exchange cost (row serialization, partition-id sort, buffer
+    writes) was the worst 8→32-core task-time inflater (profiled 4.1×
+    on identical bytes); cutting bytes/row 3.5× cuts exactly that. The
+    shuffle-path twin remains the at-scale default above the broadcast
+    gate. ``cap`` > 0 folds the hot-bucket cap in-kernel (the whole
+    bucket is task-local), replacing cap_buckets' extra aggregation +
+    anti-join pass over the explode."""
+    from dedup.verify import est_filter_floor
+
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
+    floor = est_filter_floor(cfg, perms=p)
+    ratio = cfg.jaccard_thresh
+    part = signatures.select(
+        "doc_id", F.explode("band_hashes").alias("band_hash")
+    ).repartition("band_hash")
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field("src", pa.int64(), False),
+                pa.field("dst", pa.int64(), False),
+                pa.field("est_jacc", pa.float64(), False),
+            ]
+        )
+
+        def empty():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        t = pa.concat_tables(tables).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            yield empty()
+            return
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order_k = np.argsort(bh)
+        bh, doc = bh[order_k], doc[order_k]
+        if cap > 0:
+            starts = np.flatnonzero(np.diff(bh, prepend=bh[0] - 1))
+            sizes = np.diff(np.append(starts, n))
+            keep_rows = np.repeat(sizes <= cap, sizes)
+            bh, doc = bh[keep_rows], doc[keep_rows]
+            if len(bh) == 0:
+                yield empty()
+                return
+        lk = lookup_bc.value
+        pos = np.searchsorted(lk["ids"], doc)
+        nsh = lk["nsh"][pos]
+        pre = lk["pre"][pos]
+        srcs, dsts, ests = [], [], []
+        for ia, ib in _pair_blocks(bh):
+            lo = np.minimum(nsh[ia], nsh[ib])
+            hi = np.maximum(nsh[ia], nsh[ib])
+            keep = lo >= hi * ratio  # D4 length-ratio prune (exact-safe)
+            if keep.any():
+                ia, ib = ia[keep], ib[keep]
+                eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
+                est = (eq - (32 - p)) / float(p)
+                keep2 = est >= floor
+                if keep2.any():
+                    ia, ib, est = ia[keep2], ib[keep2], est[keep2]
+                    srcs.append(np.minimum(doc[ia], doc[ib]))
+                    dsts.append(np.maximum(doc[ia], doc[ib]))
+                    ests.append(est)
+        if not srcs:
+            yield empty()
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(srcs)),
+                pa.array(np.concatenate(dsts)),
+                pa.array(np.concatenate(ests)),
+            ],
+            schema=out_schema,
+        )
+
+    return part.mapInArrow(run, schema="src long, dst long, est_jacc double")
+
+
+def simhash_candidates_lookup(
+    signatures: DataFrame, lookup_bc, cfg: DedupConfig
+) -> DataFrame:
+    """Broadcast-sideband twin of ``est_filter_pairs(
+    simhash_candidates_arrow(sigs, cfg, dedupe=False), sigs, cfg)`` —
+    identical (pair, est) output (parity test). The chunk explode ships
+    ONLY (ck, doc_id); simhash + n_shingles + packed MinHash bytes come
+    from the broadcast lookup, and the stage-1 est filter runs fused in
+    the scan — the two pre-col joins over the simhash pair flood
+    disappear. Shuffle-path twin remains the at-scale default above the
+    broadcast gate."""
+    from dedup.verify import est_filter_floor
+
+    n_chunks = cfg.hamming_thresh + 1
+    width = cfg.simhash_bits // n_chunks
+    h = cfg.hamming_thresh
+    ratio = cfg.jaccard_thresh
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
+    floor = est_filter_floor(cfg, perms=p)
+    chunk_keys = F.expr(
+        f"transform(sequence(0, {n_chunks - 1}),"
+        f" i -> shiftleft(cast(i as bigint), {width})"
+        f"      | (shiftright(simhash, i*{width}) & {(1 << width) - 1}))"
+    )
+    part = signatures.select(
+        "doc_id", F.explode(chunk_keys).alias("ck")
+    ).repartition("ck")
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dedup.hashing import popcount64
+
+        out_schema = pa.schema(
+            [
+                pa.field("src", pa.int64(), False),
+                pa.field("dst", pa.int64(), False),
+                pa.field("est_jacc", pa.float64(), False),
+            ]
+        )
+
+        def empty():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        t = pa.concat_tables(tables).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            yield empty()
+            return
+        ck = t.column("ck").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order_k = np.argsort(ck)
+        ck, doc = ck[order_k], doc[order_k]
+        lk = lookup_bc.value
+        pos = np.searchsorted(lk["ids"], doc)
+        nsh = lk["nsh"][pos]
+        sim = lk["sim"][pos].view(np.uint64)
+        pre = lk["pre"][pos]
+        srcs, dsts, ests = [], [], []
+        for ia, ib in _pair_blocks(ck):
+            x = sim[ia] ^ sim[ib]
+            lo = np.minimum(nsh[ia], nsh[ib])
+            hi = np.maximum(nsh[ia], nsh[ib])
+            keep = (popcount64(x) <= h) & (lo >= hi * ratio)
+            if keep.any():
+                ia, ib = ia[keep], ib[keep]
+                eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
+                est = (eq - (32 - p)) / float(p)
+                keep2 = est >= floor
+                if keep2.any():
+                    ia, ib, est = ia[keep2], ib[keep2], est[keep2]
+                    srcs.append(np.minimum(doc[ia], doc[ib]))
+                    dsts.append(np.maximum(doc[ia], doc[ib]))
+                    ests.append(est)
+        if not srcs:
+            yield empty()
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(srcs)),
+                pa.array(np.concatenate(dsts)),
+                pa.array(np.concatenate(ests)),
+            ],
+            schema=out_schema,
+        )
+
+    return part.mapInArrow(run, schema="src long, dst long, est_jacc double")
+
+
 def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
     """LSH bucket pairing with the stage-1 estimate filter fused into a
     numpy bucket scan — pair-and-est identical to

@@ -116,30 +116,33 @@ def to_docs(pages: DataFrame, cfg: DedupConfig, recompute_text: bool = False) ->
         # null-fill. The fill is per-row, so pre- vs post-window is
         # semantically identical; it only runs on null-text rows.
         #
-        # The UDF's INPUT is gated, not just the result: Catalyst's
-        # ExtractPythonUDFs hoists a pandas UDF out of when/otherwise
-        # and evaluates it for EVERY row, so `when(cond, udf(html))`
-        # still ships the full html column through Arrow and runs the
-        # extractor on rows whose text is already trusted (profiled:
-        # the whole cost of this stage on an all-trusted corpus).
-        # Nulling the input keeps the hoisted evaluation ~free — Arrow
-        # ships a null mask, extract_text(None) returns immediately —
-        # while the outer when() preserves the exact null semantics.
-        extracted = extract_text_udf(
-            F.when(F.col("text").isNull(), F.col("html"))
-        )
-        pre = pages.select(
-            "url",
-            "warc_ts",
-            "lang",
-            F.when(
-                F.col("text").isNull() & F.col("html").isNotNull(),
-                extracted,
+        # TWO scans, split on text-nullness, not one scan with a
+        # when(): a single-scan plan must produce the html column for
+        # every row just to feed the (almost always dead) null-fill
+        # branch — ~½ the table bytes read, decompressed, and carried
+        # through the project for nothing on a trusted corpus. Split,
+        # the trusted scan PRUNES html at the parquet reader (it never
+        # appears in its ReadSchema) and the null-text scan pushes
+        # `text IS NULL` down to row-group stats — on an all-trusted
+        # corpus it reads ~zero rows. The extractor input is gated to
+        # non-null html; null html + null text stays null text
+        # (identical to the old when() semantics), and the downstream
+        # latest_by_url is an aggregation, so the union order is
+        # irrelevant.
+        cols = ["url", "warc_ts", "lang"]
+        trusted = pages.filter(F.col("text").isNotNull()).select(*cols, "text")
+        if "html" in pages.columns:
+            fixed = pages.filter(F.col("text").isNull()).select(
+                *cols,
+                F.when(
+                    F.col("html").isNotNull(), extract_text_udf(F.col("html"))
+                ).alias("text"),
             )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        latest = latest_by_url(pre)
+        else:
+            fixed = pages.filter(F.col("text").isNull()).select(
+                *cols, F.col("text")
+            )
+        latest = latest_by_url(trusted.unionByName(fixed))
     return (
         latest.select("url", "warc_ts", "lang", "text")
         .withColumn("doc_id", F.xxhash64("url"))

@@ -26,7 +26,10 @@ from pyspark import StorageLevel
 from dedup.candidates import (
     cap_buckets,
     lsh_candidates_arrow,
+    lsh_candidates_lookup,
+    sig_lookup_arrays,
     simhash_candidates_arrow,
+    simhash_candidates_lookup,
 )
 from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
@@ -100,16 +103,23 @@ def _spill(df: DataFrame, name: str) -> DataFrame:
     (jobs/run_dedup.py)."""
     import tempfile
 
-    from dedup.session import scratch_dir
+    from dedup.session import _is_tmpfs, scratch_dir
 
     base = scratch_dir()
     os.makedirs(base, exist_ok=True)
     d = tempfile.mkdtemp(prefix=f"dedup-spill-{name}-", dir=base)
     _SPILL_DIRS.append(d)
+    w = df.write.option("maxRecordsPerFile", SPILL_MAX_RECORDS_PER_FILE)
+    if _is_tmpfs(base):
+        # RAM-backed scratch: snappy only burns shared DRAM bandwidth —
+        # the spill is re-scanned by several downstream stages and every
+        # scan would re-decompress bytes that already live in memory.
+        # On a real cluster the spill is a TableIO commit to disk/object
+        # storage where compression pays for itself (same rationale as
+        # session.py's shuffle-compression toggle).
+        w = w.option("compression", "uncompressed")
     with job_desc(df.sparkSession, f"dedup: spill {name}"):
-        df.write.option(
-            "maxRecordsPerFile", SPILL_MAX_RECORDS_PER_FILE
-        ).mode("overwrite").parquet(d)
+        w.mode("overwrite").parquet(d)
         return df.sparkSession.read.parquet(d)
 
 
@@ -169,7 +179,24 @@ def build_edges(
         sig_sh = with_shingle_signatures(reps, cfg)
     sigs = sig_sh
     slim = all(c in sigs.columns for c in ("pre0", "pre1", "pre2", "pre3"))
-    if slim and cfg.salt_hot_thresh <= 0:
+    if slim and cfg.salt_hot_thresh <= 0 and bcast_sigs:
+        # broadcast-sideband bucket scans (candidates.*_lookup): the
+        # explodes ship ONLY (bucket_key, doc_id) — 16 B/row through the
+        # pipeline's biggest exchange instead of 56 B — and the per-doc
+        # metadata (n_shingles, packed MinHash bytes, simhash) rides a
+        # ~56 B/doc numpy broadcast indexed in-kernel. Exchange cost
+        # (row serialization + partition-id sort + buffer writes) was
+        # the worst 8→32-core task-time inflater (4.1× on identical
+        # bytes); this removes most of its payload. Same (pair, est)
+        # output as the shuffle-path kernels below (parity-tested); the
+        # bucket cap folds in-kernel (no extra stats pass).
+        lookup_bc = docs.sparkSession.sparkContext.broadcast(
+            sig_lookup_arrays(sigs)
+        )
+        cands = lsh_candidates_lookup(sigs, lookup_bc, cfg, cap=cfg.bucket_cap)
+        if use_simhash:
+            cands = cands.union(simhash_candidates_lookup(sigs, lookup_bc, cfg))
+    elif slim and cfg.salt_hot_thresh <= 0:
         # fused numpy bucket scan (candidates.lsh_candidates_arrow):
         # pairing + stage-1 est filter run inside the task that owns the
         # bucket — the 10-100×-overcomplete pair flood never exists as
@@ -177,7 +204,9 @@ def build_edges(
         # byte compares. ONE shuffle (bucket key); the pair-distinct sees
         # survivors only. Mega-bucket skew is handled by cap_buckets (a
         # bucket stays whole in one task); with caps off AND salting
-        # requested, the salted JVM join below is the skew path.
+        # requested, the salted JVM join below is the skew path. This is
+        # the at-scale path (no driver collect): above the broadcast
+        # gate the metadata travels through the exchange with the rows.
         bands, _hot = cap_buckets(with_bands_pre(sigs, cfg), cfg.bucket_cap)
         cands = lsh_candidates_arrow(bands, cfg)
         if use_simhash:

@@ -337,3 +337,99 @@ def test_refine_est_pairs_recall_safe(spark, tiny_pages_df):
     missed = true_pairs - set(refined)
     assert not missed, f"stage-2 refinement dropped true pairs: {sorted(missed)[:5]}"
     assert all(0.0 <= e <= 1.0 for e in refined.values())
+
+
+def test_lsh_candidates_lookup_matches_arrow(spark, tiny_pages_df):
+    """Broadcast-sideband LSH kernel (16 B/row exchange + numpy lookup)
+    == shuffle-path arrow kernel, pair-and-est identical."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_bands_pre, with_slim_signatures
+    from dedup.candidates import (
+        lsh_candidates_arrow,
+        lsh_candidates_lookup,
+        sig_lookup_arrays,
+    )
+
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+    bc = spark.sparkContext.broadcast(sig_lookup_arrays(sigs))
+    got = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in lsh_candidates_lookup(sigs, bc, cfg)
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    want = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in lsh_candidates_arrow(with_bands_pre(sigs, cfg), cfg)
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    assert got == want
+    assert got, "degenerate fixture: no est-passing LSH candidates"
+
+
+def test_lsh_candidates_lookup_cap_matches_cap_buckets(spark, tiny_pages_df):
+    """In-kernel bucket cap == cap_buckets pre-filter + shuffle kernel."""
+    from dedup.config import DEFAULT_CONFIG
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_bands_pre, with_slim_signatures
+    from dedup.candidates import (
+        cap_buckets,
+        lsh_candidates_arrow,
+        lsh_candidates_lookup,
+        sig_lookup_arrays,
+    )
+
+    cfg = DEFAULT_CONFIG.with_(bucket_cap=3)
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+    bc = spark.sparkContext.broadcast(sig_lookup_arrays(sigs))
+    got = {
+        (r.src, r.dst)
+        for r in lsh_candidates_lookup(sigs, bc, cfg, cap=cfg.bucket_cap)
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    bands, _hot = cap_buckets(with_bands_pre(sigs, cfg), cfg.bucket_cap)
+    want = {
+        (r.src, r.dst)
+        for r in lsh_candidates_arrow(bands, cfg)
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    assert got == want
+
+
+def test_simhash_candidates_lookup_matches_est_filtered(spark, tiny_pages_df):
+    """Broadcast-sideband simhash kernel (fused stage-1 est filter) ==
+    est_filter_pairs over the shuffle-path simhash kernel."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_slim_signatures
+    from dedup.candidates import (
+        sig_lookup_arrays,
+        simhash_candidates_arrow,
+        simhash_candidates_lookup,
+    )
+    from dedup.verify import est_filter_pairs
+
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+    bc = spark.sparkContext.broadcast(sig_lookup_arrays(sigs))
+    got = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in simhash_candidates_lookup(sigs, bc, cfg)
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    want = {
+        (r.src, r.dst, round(r.est_jacc, 9))
+        for r in est_filter_pairs(
+            simhash_candidates_arrow(sigs, cfg, dedupe=False), sigs, cfg
+        )
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    assert got == want
