@@ -99,6 +99,31 @@ def xxh64_str(s: str, seed: int = SPARK_XXHASH64_SEED) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def xxh64_strings(
+    buf: np.ndarray, offsets: np.ndarray, seed: int = SPARK_XXHASH64_SEED
+) -> np.ndarray:
+    """XXH64 of each variable-width byte segment of ``buf`` (uint8 view
+    of e.g. an Arrow StringArray data buffer; ``offsets`` int64[n+1]
+    absolute) — width-grouped and row-vectorized via ``xxh64_matrix``,
+    bit-identical to Spark's ``xxhash64(string_col)`` per segment.
+    Returns uint64[n]; view as int64 for the Spark-signed form. Used by
+    the fused docs kernel for ``doc_id = xxhash64(url)`` (urls cluster
+    into a few dozen byte widths, so the gather stays vectorized)."""
+    off = np.asarray(offsets, dtype=np.int64)
+    n = len(off) - 1
+    out = np.empty(n, dtype=np.uint64)
+    width = np.diff(off)
+    for L in np.unique(width):
+        m = width == L
+        starts = off[:-1][m]
+        if L == 0:
+            mat = np.empty((int(m.sum()), 0), dtype=np.uint8)
+        else:
+            mat = buf[starts[:, None] + np.arange(L, dtype=np.int64)]
+        out[m] = xxh64_matrix(mat, seed)
+    return out
+
+
 def xxh64_long(v: int, seed: int = SPARK_XXHASH64_SEED) -> int:
     """Signed 64-bit result matching Spark's ``xxhash64(long_col)``
     (Spark hashes a LongType value as its 8 little-endian bytes via

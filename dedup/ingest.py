@@ -98,15 +98,50 @@ def latest_by_url(pages: DataFrame) -> DataFrame:
     )
 
 
-def to_docs(pages: DataFrame, cfg: DedupConfig, recompute_text: bool = False) -> DataFrame:
+def to_docs(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    recompute_text: bool = False,
+    assume_unique_urls: bool = False,
+) -> DataFrame:
     """pages → docs frame (schema.DOCS). When ``recompute_text`` the text
     column is re-derived from html via the versioned extractor (the
     BASELINE.json:15 invariant path); otherwise the provided text column
-    is trusted and the extractor only fills nulls."""
+    is trusted and the extractor only fills nulls.
+
+    ``assume_unique_urls``: when the caller has VERIFIED there is at most
+    one capture per url (run_dedup counts — one pruned scan of the url
+    column), the latest-capture pick is the identity and the agg that
+    implements it is skipped. That agg's shuffle carries the full text
+    payload (~the table's bytes) — by far the ingest stage's largest
+    data movement — so on pre-deduplicated crawls (the common case for
+    curated corpora) this removes it entirely. On multi-capture input
+    the aggregation path runs unchanged; at cluster scale a
+    bucketed-by-url table layout makes it shuffle-free anyway
+    (SURVEY §4.3)."""
+    latest = _resolve_latest(pages, recompute_text, assume_unique_urls)
+    return (
+        latest.select("url", "warc_ts", "lang", "text")
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("norm_text", normalize_text(F.col("text")))
+        .withColumn("n_chars", F.length("norm_text").cast("long"))
+        .withColumn("content_sha", F.sha2(F.col("norm_text"), 256))
+        .select("url", "doc_id", "warc_ts", "text", "norm_text", "lang", "n_chars", "content_sha")
+    )
+
+
+def _resolve_latest(
+    pages: DataFrame, recompute_text: bool, assume_unique_urls: bool
+) -> DataFrame:
+    """Shared head of the ingest stage: pages → one (url, warc_ts, lang,
+    text) row per url (latest capture, text resolved). Tail-agnostic —
+    ``to_docs`` attaches the derived columns via JVM expressions,
+    ``to_docs_arrow`` via the fused Arrow kernel."""
     if recompute_text:
         # extract only the winning capture per url — the extractor is
         # the expensive path, so rank first, extract after
-        latest = asof_latest(pages).select(
+        ranked = pages if assume_unique_urls else asof_latest(pages)
+        return ranked.select(
             "url", "warc_ts", "lang", extract_text_udf(F.col("html")).alias("text")
         )
     else:
@@ -142,15 +177,155 @@ def to_docs(pages: DataFrame, cfg: DedupConfig, recompute_text: bool = False) ->
             fixed = pages.filter(F.col("text").isNull()).select(
                 *cols, F.col("text")
             )
-        latest = latest_by_url(trusted.unionByName(fixed))
-    return (
-        latest.select("url", "warc_ts", "lang", "text")
-        .withColumn("doc_id", F.xxhash64("url"))
-        .withColumn("norm_text", normalize_text(F.col("text")))
-        .withColumn("n_chars", F.length("norm_text").cast("long"))
-        .withColumn("content_sha", F.sha2(F.col("norm_text"), 256))
-        .select("url", "doc_id", "warc_ts", "text", "norm_text", "lang", "n_chars", "content_sha")
+        pre = trusted.unionByName(fixed)
+        return pre if assume_unique_urls else latest_by_url(pre)
+
+
+def to_docs_arrow(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    recompute_text: bool = False,
+    assume_unique_urls: bool = False,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Arrow-kernel twin of ``to_docs`` — identical rows (parity test in
+    tests/test_text.py), built for the pipeline hot path: the derived
+    columns (normalize → n_chars → content_sha → doc_id) are computed in
+    ONE ``mapInArrow`` pass instead of four JVM expressions.
+
+    Why: the JVM ``regexp_replace``+``lower`` pair dominated the docs
+    stage (~130 task-core-s at 500k docs/local[32] — java.util.regex +
+    two full UTF8String copies per row, inflating ~2.5× with cores from
+    string-churn DRAM traffic). The kernel runs Arrow's RE2-backed
+    vectorized replace on pure-ASCII batches (byte-identical to the JVM
+    expression there — the whitespace class is ASCII by construction,
+    config.WHITESPACE_RE) and falls back to the pinned Python twin
+    ``normalize_text_py`` per batch when non-ASCII is present, which is
+    the oracle's exact semantics. sha256 via hashlib (= ``sha2`` hex),
+    doc_id via the vectorized Spark-parity ``hashing.xxh64_strings``.
+    ``keep_text=False`` drops the raw text from the output batches —
+    the pipeline never reads it past ingest, so its bytes never cross
+    Arrow back."""
+    import pyarrow as pa
+
+    latest = _resolve_latest(pages, recompute_text, assume_unique_urls)
+    ws_chars = " \t\n\r\f\x0b"
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from dedup.hashing import xxh64_strings
+        from dedup.text import normalize_text_py
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            idx = rb.schema.get_field_index
+            url = rb.column(idx("url"))
+            txt = rb.column(idx("text"))
+            udata, uoff = _str_buffers(pc.fill_null(url, ""))
+            doc_id = pa.array(xxh64_strings(udata, uoff).view(np.int64))
+            tdata, toff = _str_buffers(
+                pc.fill_null(txt, "") if txt.null_count else txt
+            )
+            seg = tdata[toff[0] : toff[-1]]
+            if seg.size == 0 or int(seg.max()) < 0x80:
+                # pure-ASCII batch: fully vectorized (Arrow C++/RE2).
+                # ascii_lower == JVM lower on ASCII; the collapse regex
+                # is an ASCII class; trim(" ") == JVM trim (after the
+                # collapse every edge run is a single space). Nulls
+                # propagate through every pc call.
+                norm = pc.utf8_trim(
+                    pc.replace_substring_regex(
+                        pc.ascii_lower(txt),
+                        pattern=f"[{ws_chars}]+",
+                        replacement=" ",
+                    ),
+                    characters=" ",
+                )
+                ndata, noff = _str_buffers(
+                    pc.fill_null(norm, "") if norm.null_count else norm
+                )
+                n_chars_np = np.diff(noff)  # ASCII: bytes == codepoints
+                mv = memoryview(ndata)
+                if norm.null_count:
+                    isnull = pc.is_null(norm).to_numpy(zero_copy_only=False)
+                    shas = [
+                        None
+                        if isnull[i]
+                        else hashlib.sha256(mv[noff[i] : noff[i + 1]]).hexdigest()
+                        for i in range(n)
+                    ]
+                    n_chars = pa.array(n_chars_np, mask=isnull)
+                else:
+                    shas = [
+                        hashlib.sha256(mv[noff[i] : noff[i + 1]]).hexdigest()
+                        for i in range(n)
+                    ]
+                    n_chars = pa.array(n_chars_np)
+            else:
+                # non-ASCII present: the pinned Python twin row-by-row
+                # (oracle semantics; still Arrow-batched, no pickling)
+                norm_l = [
+                    None if s is None else normalize_text_py(s)
+                    for s in txt.to_pylist()
+                ]
+                norm = pa.array(norm_l, type=pa.string())
+                shas = [
+                    None if s is None else hashlib.sha256(s.encode()).hexdigest()
+                    for s in norm_l
+                ]
+                n_chars = pa.array(
+                    [None if s is None else len(s) for s in norm_l],
+                    type=pa.int64(),
+                )
+            cols = [("url", url), ("doc_id", doc_id), ("warc_ts", rb.column(idx("warc_ts")))]
+            if keep_text:
+                cols.append(("text", txt))
+            cols += [
+                ("norm_text", norm),
+                ("lang", rb.column(idx("lang"))),
+                ("n_chars", n_chars.cast(pa.int64())),
+                ("content_sha", pa.array(shas, type=pa.string())),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [c for _, c in cols], names=[k for k, _ in cols]
+            )
+
+    text_field = "text string, " if keep_text else ""
+    return latest.select("url", "warc_ts", "lang", "text").mapInArrow(
+        run,
+        schema=(
+            f"url string, doc_id long, warc_ts timestamp, {text_field}"
+            "norm_text string, lang string, n_chars long, content_sha string"
+        ),
     )
+
+
+def _str_buffers(arr):
+    """Arrow StringArray → (uint8 data-buffer view, int64[n+1] absolute
+    byte offsets). Caller must have filled nulls."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    off_dtype = "<i8" if pa.types.is_large_string(arr.type) else "<i4"
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offsets
 
 
 def exact_groups(docs: DataFrame) -> DataFrame:

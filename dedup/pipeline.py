@@ -34,7 +34,7 @@ from dedup.candidates import (
 from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
-from dedup.ingest import exact_edges, representatives, to_docs
+from dedup.ingest import exact_edges, representatives, to_docs, to_docs_arrow
 from dedup.signatures import (
     with_bands,
     with_bands_pre,
@@ -265,6 +265,19 @@ def run_dedup(
     """Full pipeline: pages → clusters. ``edge_kinds`` selects which edge
     kinds participate in clustering (pinned default: exact + verified
     Jaccard — the oracle in tests mirrors exactly this rule)."""
+    # Runtime-adaptive latest-capture pick: one pruned scan of the url
+    # column (count vs distinct-count — map-side partial agg, ~30 MB of
+    # strings at 500k docs) decides whether any url has multiple
+    # captures. When none does — the common case for pre-deduplicated /
+    # curated crawls — the latest-by-url aggregation is the identity,
+    # and skipping it removes the ingest stage's largest data movement:
+    # a shuffle carrying the full text payload. Same AQE-style
+    # runtime-stats-drive-the-plan rationale as the broadcast switches.
+    with job_desc(pages.sparkSession, "dedup: url-uniqueness probe"):
+        cnt = pages.agg(
+            F.count("*").alias("n"), F.count_distinct("url").alias("u")
+        ).first()
+    unique_urls = cnt["n"] == cnt["u"]
     # `text` is never read past ingest (similarity runs on norm_text;
     # reporting on ids/metadata) — keeping it out of the persisted
     # working set cuts ~1/3 of the cache bytes and of every downstream
@@ -277,8 +290,21 @@ def run_dedup(
     # going local[4]→local[16] on identical work, the single worst
     # scaling pathology in the pipeline. The columnar file round-trip
     # keeps materialized bytes off-heap and every re-scan vectorized.
+    # Arrow-kernel docs tail (ingest.to_docs_arrow, parity-tested): the
+    # JVM regexp_replace+lower normalization dominated this stage and
+    # inflated ~2.5× with cores; the kernel path is vectorized RE2 on
+    # ASCII batches with the oracle's Python twin as fallback.
+    # keep_text=False: the raw text never crosses Arrow back — the
+    # pipeline reads only norm_text past ingest.
     docs = _spill(
-        to_docs(pages, cfg, recompute_text=recompute_text).drop("text"), "docs"
+        to_docs_arrow(
+            pages,
+            cfg,
+            recompute_text=recompute_text,
+            assume_unique_urls=unique_urls,
+            keep_text=False,
+        ),
+        "docs",
     )
     edges, sigs, _sh = build_edges(
         docs, cfg, use_simhash=use_simhash, use_containment=use_containment

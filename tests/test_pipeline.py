@@ -178,3 +178,28 @@ def test_latest_by_url_equals_asof_window(spark):
         .collect()
     }
     assert agg2 == win
+
+
+def test_multi_capture_urls_take_latest(spark, tiny_pages_df):
+    """run_dedup's url-uniqueness probe must route multi-capture input
+    through the latest_by_url aggregation: stale older captures (junk
+    text under the same urls) must not change docs or clusters vs
+    running on the already-deduped frame."""
+    from pyspark.sql import types as T
+
+    stale = tiny_pages_df.limit(50).select(
+        "url",
+        (F.col("warc_ts") - F.expr("interval 7 days")).alias("warc_ts"),
+        F.lit(None).cast(T.BinaryType()).alias("html"),
+        F.concat(F.lit("STALE JUNK "), F.col("text")).alias("text"),
+        "lang",
+    )
+    noisy = tiny_pages_df.unionByName(stale)
+    clean = run_dedup(tiny_pages_df, DEFAULT_CONFIG)
+    got = run_dedup(noisy, DEFAULT_CONFIG)
+    key = lambda df: {
+        (r["url"], r["cluster_id"])
+        for r in df.select("url", "cluster_id").collect()
+    }
+    assert key(got.clusters) == key(clean.clusters)
+    assert got.docs.count() == tiny_pages_df.count()

@@ -98,3 +98,41 @@ def test_extract_text_partition_independent(spark, tiny_pages):
     one = df.coalesce(1).select("url", extract_text_udf("html").alias("t")).collect()
     many = df.repartition(7).select("url", extract_text_udf("html").alias("t")).collect()
     assert {(r["url"], r["t"]) for r in one} == {(r["url"], r["t"]) for r in many}
+
+
+def test_to_docs_arrow_matches_jvm(spark, tiny_pages_df):
+    """Fused Arrow docs kernel == JVM-expression to_docs, row-for-row
+    (doc_id, norm_text, n_chars, content_sha), including null-text rows
+    and a non-ASCII batch (which takes the Python-twin path)."""
+    from pyspark.sql import functions as F
+
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import to_docs, to_docs_arrow
+
+    def key(df):
+        return {
+            (r["url"], r["doc_id"], r["norm_text"], r["n_chars"], r["content_sha"])
+            for r in df.select(
+                "url", "doc_id", "norm_text", "n_chars", "content_sha"
+            ).collect()
+        }
+
+    assert key(to_docs_arrow(tiny_pages_df, cfg)) == key(to_docs(tiny_pages_df, cfg))
+
+    weird = spark.createDataFrame(
+        [
+            ("u://1", None, None, "  MiXeD \t Case\n\n text  ", "en"),
+            ("u://2", None, None, None, "en"),
+            ("u://3", None, None, "ünïcödé  \t ÉDGE ÇASE », Σ末尾", "de"),
+            ("u://4", None, None, "", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = key(to_docs_arrow(weird, cfg))
+    want = key(to_docs(weird, cfg))
+    # JVM lower() and Python .lower() agree on these inputs; the pinned
+    # truth for the pipeline is the Python twin (tests/oracle.py)
+    assert got == want
+    # keep_text=False drops only the text column
+    slim = to_docs_arrow(tiny_pages_df, cfg, keep_text=False)
+    assert "text" not in slim.columns and "norm_text" in slim.columns
