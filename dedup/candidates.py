@@ -498,6 +498,147 @@ def simhash_candidates_lookup(
     return part.mapInArrow(run, schema="src long, dst long, est_jacc double")
 
 
+def fused_candidates_lookup(
+    signatures: DataFrame, lookup_bc, cfg: DedupConfig, cap: int = 0
+) -> DataFrame:
+    """LSH band buckets AND simhash chunk buckets in ONE exchange + ONE
+    kernel scan — (pair, est)-identical to
+    ``lsh_candidates_lookup ∪ simhash_candidates_lookup`` (parity test).
+
+    Both generators are bucket-pairing problems over (key, doc_id) rows;
+    the only differences are the key space and the per-pair filter. So
+    the explodes union into one frame tagged 0 (LSH band_hash) / 1
+    (simhash chunk key), hash-partitioned on (tag, key) — bucket
+    identity is the exact (tag, key) pair, no cross-space collisions —
+    and the kernel runs ONE distance-block enumeration over the grouped
+    partition: a pair's two rows always share a segment, hence a tag,
+    so the tag just selects which filter mask applies. Versus two
+    kernels this removes a whole exchange + AQE stage + partition scan
+    (JVM exchange overhead is the pipeline's worst 8→32-core inflater).
+    ``cap`` drops oversized LSH buckets only (simhash chunk buckets are
+    bounded by the hamming filter), matching cap_buckets semantics."""
+    from dedup.verify import est_filter_floor
+
+    n_chunks = cfg.hamming_thresh + 1
+    width = cfg.simhash_bits // n_chunks
+    h = cfg.hamming_thresh
+    ratio = cfg.jaccard_thresh
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
+    floor = est_filter_floor(cfg, perms=p)
+    chunk_keys = F.expr(
+        f"transform(sequence(0, {n_chunks - 1}),"
+        f" i -> shiftleft(cast(i as bigint), {width})"
+        f"      | (shiftright(simhash, i*{width}) & {(1 << width) - 1}))"
+    )
+    ex = signatures.select(
+        "doc_id",
+        F.explode("band_hashes").alias("key"),
+        F.lit(0).cast("byte").alias("tag"),
+    ).unionByName(
+        signatures.select(
+            "doc_id",
+            F.explode(chunk_keys).alias("key"),
+            F.lit(1).cast("byte").alias("tag"),
+        )
+    )
+    part = ex.repartition("tag", "key")
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dedup.hashing import popcount64
+
+        out_schema = pa.schema(
+            [
+                pa.field("src", pa.int64(), False),
+                pa.field("dst", pa.int64(), False),
+                pa.field("est_jacc", pa.float64(), False),
+            ]
+        )
+
+        def empty():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        t = pa.concat_tables(tables).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            yield empty()
+            return
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = t.column("tag").to_numpy(zero_copy_only=False).astype(np.int8)
+        order_k = np.lexsort((key, tag))
+        key, doc, tag = key[order_k], doc[order_k], tag[order_k]
+        # segment boundaries where (tag, key) changes; seg_key is a
+        # synthetic grouped id consumed by the shared _pair_blocks
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (key[1:] != key[:-1]) | (tag[1:] != tag[:-1])
+        seg_key = np.cumsum(change) - 1
+        if cap > 0:
+            starts = np.flatnonzero(change)
+            sizes = np.diff(np.append(starts, n))
+            seg_tag = tag[starts]
+            keep_rows = np.repeat((sizes <= cap) | (seg_tag == 1), sizes)
+            if not keep_rows.all():
+                key, doc, tag, seg_key = (
+                    key[keep_rows],
+                    doc[keep_rows],
+                    tag[keep_rows],
+                    seg_key[keep_rows],
+                )
+                if len(key) == 0:
+                    yield empty()
+                    return
+        lk = lookup_bc.value
+        pos = np.searchsorted(lk["ids"], doc)
+        nsh = lk["nsh"][pos]
+        sim = lk["sim"][pos].view(np.uint64)
+        pre = lk["pre"][pos]
+        srcs, dsts, ests = [], [], []
+        for ia, ib in _pair_blocks(seg_key):
+            lo = np.minimum(nsh[ia], nsh[ib])
+            hi = np.maximum(nsh[ia], nsh[ib])
+            keep = lo >= hi * ratio  # D4 length-ratio prune (exact-safe)
+            is_sh = tag[ia] == 1  # pair sides share a segment ⇒ a tag
+            if is_sh.any():
+                keep &= ~is_sh | (popcount64(sim[ia] ^ sim[ib]) <= h)
+            if keep.any():
+                ia, ib = ia[keep], ib[keep]
+                eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
+                est = (eq - (32 - p)) / float(p)
+                keep2 = est >= floor
+                if keep2.any():
+                    ia, ib, est = ia[keep2], ib[keep2], est[keep2]
+                    srcs.append(np.minimum(doc[ia], doc[ib]))
+                    dsts.append(np.maximum(doc[ia], doc[ib]))
+                    ests.append(est)
+        if not srcs:
+            yield empty()
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(srcs)),
+                pa.array(np.concatenate(dsts)),
+                pa.array(np.concatenate(ests)),
+            ],
+            schema=out_schema,
+        )
+
+    return part.mapInArrow(run, schema="src long, dst long, est_jacc double")
+
+
 def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
     """LSH bucket pairing with the stage-1 estimate filter fused into a
     numpy bucket scan — pair-and-est identical to

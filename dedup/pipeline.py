@@ -25,11 +25,11 @@ from pyspark import StorageLevel
 
 from dedup.candidates import (
     cap_buckets,
+    fused_candidates_lookup,
     lsh_candidates_arrow,
     lsh_candidates_lookup,
     sig_lookup_arrays,
     simhash_candidates_arrow,
-    simhash_candidates_lookup,
 )
 from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
@@ -193,9 +193,14 @@ def build_edges(
         lookup_bc = docs.sparkSession.sparkContext.broadcast(
             sig_lookup_arrays(sigs)
         )
-        cands = lsh_candidates_lookup(sigs, lookup_bc, cfg, cap=cfg.bucket_cap)
         if use_simhash:
-            cands = cands.union(simhash_candidates_lookup(sigs, lookup_bc, cfg))
+            # both generators in ONE exchange + kernel scan (tagged
+            # buckets) — candidates.fused_candidates_lookup
+            cands = fused_candidates_lookup(
+                sigs, lookup_bc, cfg, cap=cfg.bucket_cap
+            )
+        else:
+            cands = lsh_candidates_lookup(sigs, lookup_bc, cfg, cap=cfg.bucket_cap)
     elif slim and cfg.salt_hot_thresh <= 0:
         # fused numpy bucket scan (candidates.lsh_candidates_arrow):
         # pairing + stage-1 est filter run inside the task that owns the

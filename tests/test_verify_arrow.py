@@ -433,3 +433,38 @@ def test_simhash_candidates_lookup_matches_est_filtered(spark, tiny_pages_df):
         .collect()
     }
     assert got == want
+
+
+def test_fused_candidates_lookup_matches_union(spark, tiny_pages_df):
+    """Single tagged-exchange kernel == union of the per-generator
+    lookup kernels, pair-and-est identical (incl. an LSH bucket cap)."""
+    from dedup.config import DEFAULT_CONFIG
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_slim_signatures
+    from dedup.candidates import (
+        fused_candidates_lookup,
+        lsh_candidates_lookup,
+        sig_lookup_arrays,
+        simhash_candidates_lookup,
+    )
+
+    for cap in (0, 3):
+        cfg = DEFAULT_CONFIG.with_(bucket_cap=cap)
+        docs = to_docs(tiny_pages_df, cfg)
+        sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+        bc = spark.sparkContext.broadcast(sig_lookup_arrays(sigs))
+        got = {
+            (r.src, r.dst, round(r.est_jacc, 9))
+            for r in fused_candidates_lookup(sigs, bc, cfg, cap=cap)
+            .dropDuplicates(["src", "dst"])
+            .collect()
+        }
+        want = {
+            (r.src, r.dst, round(r.est_jacc, 9))
+            for r in lsh_candidates_lookup(sigs, bc, cfg, cap=cap)
+            .union(simhash_candidates_lookup(sigs, bc, cfg))
+            .dropDuplicates(["src", "dst"])
+            .collect()
+        }
+        assert got == want
+        assert got, "degenerate fixture: no candidates"
