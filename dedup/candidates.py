@@ -266,18 +266,24 @@ def _pair_blocks(key):
         d += 1
 
 
-def sig_lookup_arrays(signatures: DataFrame) -> dict:
+def sig_lookup_arrays(signatures: DataFrame, with_bands: bool = False) -> dict:
     """Driver-side collect of the slim signature frame into doc_id-sorted
     numpy lookup arrays — the broadcast sideband of the ``*_lookup``
     candidate kernels. ~56 B/doc (id + n_shingles + simhash + 32
     byte-packed MinHash low bytes): ≤ ~56 MB at the 1M-doc
-    BROADCAST_SIGS_MAX gate. Beyond the gate the kernels' shuffle-path
-    twins carry the metadata through the exchange instead (the 10^12-doc
+    BROADCAST_SIGS_MAX gate. ``with_bands`` additionally packs the LSH
+    band-hash matrix (+8·bands B/doc) for ``fused_candidates_bcast``,
+    which enumerates buckets straight off the broadcast with no
+    exchange at all. Beyond the gate the kernels' shuffle-path twins
+    carry the metadata through the exchange instead (the 10^12-doc
     design path — no driver collect at scale)."""
     import numpy as np
 
     pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in signatures.columns]
-    tbl = signatures.select("doc_id", "n_shingles", "simhash", *pres).toArrow()
+    cols = ["doc_id", "n_shingles", "simhash", *pres]
+    if with_bands:
+        cols.append("band_hashes")
+    tbl = signatures.select(*cols).toArrow()
 
     def col(name, dtype):
         return tbl.column(name).to_numpy(zero_copy_only=False).astype(dtype)
@@ -285,13 +291,53 @@ def sig_lookup_arrays(signatures: DataFrame) -> dict:
     ids = col("doc_id", np.int64)
     order = np.argsort(ids)
     pre = np.column_stack([col(c, np.int64) for c in pres])[order]
-    return {
+    out = {
         "ids": ids[order],
         "nsh": col("n_shingles", np.int64)[order],
         "sim": col("simhash", np.int64)[order],
         # (n, 32) little-endian low bytes, row-aligned with ids
         "pre": np.ascontiguousarray(pre).view(np.uint8),
     }
+    if with_bands:
+        from dedup.hashing import _vfmix
+
+        bh_col = tbl.column("band_hashes")
+        if hasattr(bh_col, "num_chunks"):  # ChunkedArray → one Array
+            bh_col = bh_col.combine_chunks()
+        ch = bh_col.chunk(0) if hasattr(bh_col, "num_chunks") else bh_col
+        offs = ch.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        out["bands"] = np.ascontiguousarray(
+            vals[offs[0] :].reshape(len(ids), b)[order]
+        )
+        # Precomputed sideband for fused_candidates_bcast — built ONCE
+        # here so the per-task cost in the kernel is selection + sort of
+        # its ~1/P slice only:
+        #  - "part32": top-32 avalanche bits of every tagged bucket key
+        #    (LSH entries row-major, then simhash-chunk entries
+        #    row-major), consumed by a multiply-shift partitioner
+        #    pid = (part32 * P) >> 32 — equal keys get equal bits, so a
+        #    bucket always lands whole whatever P the session picks.
+        mixed = _vfmix(out["bands"].reshape(-1).view(np.uint64).copy())
+        out["part32_lsh"] = (mixed >> np.uint64(32)).astype(np.uint32)
+    return out
+
+
+def simhash_chunk_keys(sim: "np.ndarray", n_chunks: int, width: int):
+    """(n,) int64 simhashes → (n, n_chunks) int64 chunk bucket keys,
+    bit-identical to the SQL ``(i << width) | (shiftright(simhash,
+    i*width) & mask)`` explode (the arithmetic-vs-logical shift
+    difference dies under the mask)."""
+    import numpy as np
+
+    u = sim.view(np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    cols = [
+        ((i << width) | ((u >> np.uint64(i * width)) & mask).astype(np.int64))
+        for i in range(n_chunks)
+    ]
+    return np.column_stack(cols)
 
 
 def lsh_candidates_lookup(
@@ -637,6 +683,174 @@ def fused_candidates_lookup(
         )
 
     return part.mapInArrow(run, schema="src long, dst long, est_jacc double")
+
+
+def fused_candidates_bcast(
+    spark,
+    lookup_bc,
+    cfg: DedupConfig,
+    cap: int = 0,
+    n_parts: int | None = None,
+    use_simhash: bool = True,
+) -> DataFrame:
+    """Exchange-free twin of ``fused_candidates_lookup``: identical
+    (pair, est) output (parity test in tests/test_verify_arrow.py), but
+    the band/chunk explode rows never exist as JVM rows at all.
+
+    In the broadcast regime every task already holds ALL per-doc
+    metadata; shipping 9M (bucket_key, doc_id) rows through an exchange
+    (explode + row serialization + partition-id sort + Arrow crossing —
+    measured ~90 task-s at 500k docs, and the pipeline's worst
+    8→32-core inflater) only re-delivers information the broadcast has.
+    Instead ``spark.range(n_parts)`` launches one task per bucket-space
+    slice; each task rebuilds the tagged (key, owner-row) arrays from
+    the broadcast's band-hash matrix + simhash chunks (vectorized, tens
+    of ms), keeps the slice where ``mix64(key ^ tag·C) % n_parts`` ==
+    its partition id — equal (tag, key) always lands whole, so bucket
+    identity and the in-kernel cap semantics are exactly those of the
+    exchange path — and runs the same distance-block enumeration with
+    the same D4 / hamming / stage-1 est filters. Owner rows are direct
+    indices into the broadcast arrays (no searchsorted).
+
+    At-scale story unchanged: above BROADCAST_SIGS_MAX the shuffle-path
+    twins are the design path; this kernel is the small/medium-corpus
+    fast path behind the same gate."""
+    from dedup.verify import est_filter_floor
+
+    n_chunks = cfg.hamming_thresh + 1
+    width = cfg.simhash_bits // n_chunks
+    h = cfg.hamming_thresh
+    ratio = cfg.jaccard_thresh
+    p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
+    floor = est_filter_floor(cfg, perms=p)
+    if n_parts is None:
+        n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dedup.hashing import popcount64, _vfmix
+
+        out_schema = pa.schema(
+            [
+                pa.field("src", pa.int64(), False),
+                pa.field("dst", pa.int64(), False),
+                pa.field("est_jacc", pa.float64(), False),
+            ]
+        )
+
+        parts = []
+        for rb in batches:
+            parts.append(rb.column(0).to_numpy(zero_copy_only=False))
+        my_parts = np.concatenate(parts).astype(np.int64) if parts else []
+        if len(my_parts) == 0:
+            return
+        lk = lookup_bc.value
+        bands = lk["bands"]  # (n, b) int64 — key space tag 0
+        nsh_all = lk["nsh"]
+        doc_all = lk["ids"]
+        pre_all = lk["pre"]
+        sim_all = lk["sim"].view(np.uint64)
+        n_docs, b = bands.shape
+        key_lsh = bands.reshape(-1)  # view, no copy
+        part_lsh = lk["part32_lsh"].astype(np.uint64)  # precomputed mix bits
+        if use_simhash:
+            ck = simhash_chunk_keys(lk["sim"], n_chunks, width)  # (n, nc)
+            key_sim = ck.reshape(-1)
+            # tag folds in via a constant xor pre-avalanche so an LSH
+            # band hash and a chunk key that happen to collide stay in
+            # distinct buckets-spaces deterministically
+            part_sim = _vfmix(
+                key_sim.view(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(32)
+        P = np.uint64(n_parts)
+        for pid in my_parts:
+            upid = np.uint64(pid)
+            # multiply-shift partitioner over the precomputed top-32
+            # mix bits: pid = (part32 * P) >> 32
+            sel0 = np.flatnonzero((part_lsh * P) >> np.uint64(32) == upid)
+            own0 = sel0 // b
+            key0 = key_lsh[sel0]
+            o_parts = [own0]
+            k_parts = [key0]
+            if use_simhash:
+                sel1 = np.flatnonzero((part_sim * P) >> np.uint64(32) == upid)
+                own1 = sel1 // n_chunks
+                key1 = key_sim[sel1]
+                o_parts.append(own1)
+                k_parts.append(key1)
+            # sort each key space on its own, concatenate in tag order —
+            # equal to a (tag, key) lexsort of the union, at two plain
+            # argsorts' cost
+            n0 = len(key0)
+            ord0 = np.argsort(key0)
+            k_sorted = [key0[ord0]]
+            o_sorted = [own0[ord0]]
+            if use_simhash and len(k_parts[1]):
+                ord1 = np.argsort(k_parts[1])
+                k_sorted.append(k_parts[1][ord1])
+                o_sorted.append(o_parts[1][ord1])
+            k_s = np.concatenate(k_sorted)
+            o_s = np.concatenate(o_sorted)
+            m = len(k_s)
+            if m == 0:
+                continue
+            t_s = np.zeros(m, dtype=np.int8)
+            t_s[n0:] = 1
+            change = np.empty(m, dtype=bool)
+            change[0] = True
+            change[1:] = (k_s[1:] != k_s[:-1]) | (t_s[1:] != t_s[:-1])
+            seg_key = np.cumsum(change) - 1
+            if cap > 0:
+                starts = np.flatnonzero(change)
+                sizes = np.diff(np.append(starts, m))
+                seg_tag = t_s[starts]
+                keep_rows = np.repeat((sizes <= cap) | (seg_tag == 1), sizes)
+                if not keep_rows.all():
+                    k_s, o_s, t_s, seg_key = (
+                        k_s[keep_rows],
+                        o_s[keep_rows],
+                        t_s[keep_rows],
+                        seg_key[keep_rows],
+                    )
+                    if len(k_s) == 0:
+                        continue
+            nsh = nsh_all[o_s]
+            sim = sim_all[o_s]
+            pre = pre_all[o_s]
+            doc = doc_all[o_s]
+            srcs, dsts, ests = [], [], []
+            for ia, ib in _pair_blocks(seg_key):
+                lo = np.minimum(nsh[ia], nsh[ib])
+                hi = np.maximum(nsh[ia], nsh[ib])
+                keep = lo >= hi * ratio  # D4 length-ratio prune
+                is_sh = t_s[ia] == 1  # pair sides share a segment ⇒ a tag
+                if is_sh.any():
+                    keep &= ~is_sh | (popcount64(sim[ia] ^ sim[ib]) <= h)
+                if keep.any():
+                    ia, ib = ia[keep], ib[keep]
+                    eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
+                    est = (eq - (32 - p)) / float(p)
+                    keep2 = est >= floor
+                    if keep2.any():
+                        ia, ib, est = ia[keep2], ib[keep2], est[keep2]
+                        srcs.append(np.minimum(doc[ia], doc[ib]))
+                        dsts.append(np.maximum(doc[ia], doc[ib]))
+                        ests.append(est)
+            if srcs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(srcs)),
+                        pa.array(np.concatenate(dsts)),
+                        pa.array(np.concatenate(ests)),
+                    ],
+                    schema=out_schema,
+                )
+
+    return spark.range(0, n_parts, 1, numPartitions=n_parts).mapInArrow(
+        run, schema="src long, dst long, est_jacc double"
+    )
 
 
 def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:

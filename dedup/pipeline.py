@@ -25,9 +25,8 @@ from pyspark import StorageLevel
 
 from dedup.candidates import (
     cap_buckets,
-    fused_candidates_lookup,
+    fused_candidates_bcast,
     lsh_candidates_arrow,
-    lsh_candidates_lookup,
     sig_lookup_arrays,
     simhash_candidates_arrow,
 )
@@ -180,27 +179,28 @@ def build_edges(
     sigs = sig_sh
     slim = all(c in sigs.columns for c in ("pre0", "pre1", "pre2", "pre3"))
     if slim and cfg.salt_hot_thresh <= 0 and bcast_sigs:
-        # broadcast-sideband bucket scans (candidates.*_lookup): the
-        # explodes ship ONLY (bucket_key, doc_id) — 16 B/row through the
-        # pipeline's biggest exchange instead of 56 B — and the per-doc
-        # metadata (n_shingles, packed MinHash bytes, simhash) rides a
-        # ~56 B/doc numpy broadcast indexed in-kernel. Exchange cost
-        # (row serialization + partition-id sort + buffer writes) was
-        # the worst 8→32-core task-time inflater (4.1× on identical
-        # bytes); this removes most of its payload. Same (pair, est)
-        # output as the shuffle-path kernels below (parity-tested); the
-        # bucket cap folds in-kernel (no extra stats pass).
+        # Exchange-free broadcast candidate kernel
+        # (candidates.fused_candidates_bcast): ALL per-doc metadata —
+        # band hashes, simhash, n_shingles, packed MinHash bytes —
+        # rides a ~(56 + 8·bands) B/doc numpy broadcast; one task per
+        # bucket-space hash slice enumerates its buckets straight off
+        # the broadcast. The 9M-row tagged band/chunk explode, its
+        # exchange (row serialization + partition-id sort + ~330 MB
+        # write+read at 500k docs) and the per-row Arrow crossing
+        # disappear entirely — exchange cost was the worst 8→32-core
+        # task-time inflater. Same (pair, est) output as the
+        # shuffle-path kernels below (parity-tested); the bucket cap
+        # folds in-kernel (no extra stats pass).
         lookup_bc = docs.sparkSession.sparkContext.broadcast(
-            sig_lookup_arrays(sigs)
+            sig_lookup_arrays(sigs, with_bands=True)
         )
-        if use_simhash:
-            # both generators in ONE exchange + kernel scan (tagged
-            # buckets) — candidates.fused_candidates_lookup
-            cands = fused_candidates_lookup(
-                sigs, lookup_bc, cfg, cap=cfg.bucket_cap
-            )
-        else:
-            cands = lsh_candidates_lookup(sigs, lookup_bc, cfg, cap=cfg.bucket_cap)
+        cands = fused_candidates_bcast(
+            docs.sparkSession,
+            lookup_bc,
+            cfg,
+            cap=cfg.bucket_cap,
+            use_simhash=use_simhash,
+        )
     elif slim and cfg.salt_hot_thresh <= 0:
         # fused numpy bucket scan (candidates.lsh_candidates_arrow):
         # pairing + stage-1 est filter run inside the task that owns the

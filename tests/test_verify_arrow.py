@@ -468,3 +468,42 @@ def test_fused_candidates_lookup_matches_union(spark, tiny_pages_df):
         }
         assert got == want
         assert got, "degenerate fixture: no candidates"
+
+
+def test_fused_candidates_bcast_matches_lookup(spark, tiny_pages_df):
+    """Exchange-free broadcast kernel == tagged-exchange lookup kernel,
+    pair-and-est identical (incl. an LSH bucket cap and lsh-only mode)."""
+    from dedup.config import DEFAULT_CONFIG
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_slim_signatures
+    from dedup.candidates import (
+        fused_candidates_bcast,
+        fused_candidates_lookup,
+        lsh_candidates_lookup,
+        sig_lookup_arrays,
+    )
+
+    for cap in (0, 3):
+        cfg = DEFAULT_CONFIG.with_(bucket_cap=cap)
+        docs = to_docs(tiny_pages_df, cfg)
+        sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+        bc = spark.sparkContext.broadcast(sig_lookup_arrays(sigs, with_bands=True))
+
+        def pairset(df):
+            return {
+                (r.src, r.dst, round(r.est_jacc, 9))
+                for r in df.dropDuplicates(["src", "dst"]).collect()
+            }
+
+        got = pairset(fused_candidates_bcast(spark, bc, cfg, cap=cap, n_parts=5))
+        want = pairset(fused_candidates_lookup(sigs, bc, cfg, cap=cap))
+        assert got == want
+        assert got, "degenerate fixture: no candidates"
+        # lsh-only mode == the lsh lookup kernel
+        got_lsh = pairset(
+            fused_candidates_bcast(
+                spark, bc, cfg, cap=cap, n_parts=3, use_simhash=False
+            )
+        )
+        want_lsh = pairset(lsh_candidates_lookup(sigs, bc, cfg, cap=cap))
+        assert got_lsh == want_lsh
