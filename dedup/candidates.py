@@ -266,7 +266,11 @@ def _pair_blocks(key):
         d += 1
 
 
-def sig_lookup_arrays(signatures: DataFrame, with_bands: bool = False) -> dict:
+def sig_lookup_arrays(
+    signatures: DataFrame,
+    with_bands: bool = False,
+    parquet_dir: str | None = None,
+) -> dict:
     """Driver-side collect of the slim signature frame into doc_id-sorted
     numpy lookup arrays — the broadcast sideband of the ``*_lookup``
     candidate kernels. ~56 B/doc (id + n_shingles + simhash + 32
@@ -283,7 +287,16 @@ def sig_lookup_arrays(signatures: DataFrame, with_bands: bool = False) -> dict:
     cols = ["doc_id", "n_shingles", "simhash", *pres]
     if with_bands:
         cols.append("band_hashes")
-    tbl = signatures.select(*cols).toArrow()
+    if parquet_dir is not None:
+        # Fast path when the frame is a pipeline spill: read the parquet
+        # files natively (multi-threaded Arrow reader, tmpfs-resident) —
+        # the ``toArrow`` route costs a full extra Spark job over the
+        # spill plus a JVM→driver Arrow serialization hop.
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(parquet_dir, format="parquet").to_table(columns=cols)
+    else:
+        tbl = signatures.select(*cols).toArrow()
 
     def col(name, dtype):
         return tbl.column(name).to_numpy(zero_copy_only=False).astype(dtype)

@@ -119,7 +119,11 @@ def _spill(df: DataFrame, name: str) -> DataFrame:
         w = w.option("compression", "uncompressed")
     with job_desc(df.sparkSession, f"dedup: spill {name}"):
         w.mode("overwrite").parquet(d)
-        return df.sparkSession.read.parquet(d)
+        out = df.sparkSession.read.parquet(d)
+        # breadcrumb for driver-side native reads of the spilled files
+        # (e.g. candidates.sig_lookup_arrays skips a Spark collect job)
+        out._dedup_spill_dir = d
+        return out
 
 
 @dataclass
@@ -192,7 +196,11 @@ def build_edges(
         # shuffle-path kernels below (parity-tested); the bucket cap
         # folds in-kernel (no extra stats pass).
         lookup_bc = docs.sparkSession.sparkContext.broadcast(
-            sig_lookup_arrays(sigs, with_bands=True)
+            sig_lookup_arrays(
+                sigs,
+                with_bands=True,
+                parquet_dir=getattr(sigs, "_dedup_spill_dir", None),
+            )
         )
         cands = fused_candidates_bcast(
             docs.sparkSession,

@@ -551,16 +551,20 @@ def verify_jaccard_lazy(
         texts = docs.join(F.broadcast(need), "doc_id", "left_semi").select(
             "doc_id", "norm_text"
         )
-        withtext = (
-            texts.join(F.broadcast(passed), F.col("doc_id") == F.col("src"))
-            .select("src", "dst", "est_jacc", F.col("norm_text").alias("t_a"))
-            .join(
-                texts.select(
-                    F.col("doc_id").alias("dst"), F.col("norm_text").alias("t_b")
-                ),
-                "dst",
-            )
-        )
+        # BOTH sides attach map-side (pair frame broadcast into the text
+        # scan), so the only exchange is the final (src, dst) equi-join
+        # of two pair-sized halves carrying ONE text column each. The
+        # former shape attached t_a map-side but then shuffled the whole
+        # endpoint text frame against it for t_b — ~1.5× the bytes
+        # through the pipeline's worst-scaling (DRAM-bound) exchange.
+        a_side = texts.join(
+            F.broadcast(passed), F.col("doc_id") == F.col("src")
+        ).select("src", "dst", "est_jacc", F.col("norm_text").alias("t_a"))
+        b_side = texts.join(
+            F.broadcast(passed.select("src", "dst")),
+            F.col("doc_id") == F.col("dst"),
+        ).select("src", "dst", F.col("norm_text").alias("t_b"))
+        withtext = a_side.join(b_side, ["src", "dst"])
     else:
         texts = docs.join(need, "doc_id", "left_semi").select("doc_id", "norm_text")
         withtext = join_pair_arrays(passed, texts, "norm_text", "t_a", "t_b")
