@@ -136,3 +136,30 @@ def test_to_docs_arrow_matches_jvm(spark, tiny_pages_df):
     # keep_text=False drops only the text column
     slim = to_docs_arrow(tiny_pages_df, cfg, keep_text=False)
     assert "text" not in slim.columns and "norm_text" in slim.columns
+
+
+def test_to_docs_arrow_clean_fast_path_parity(spark):
+    """All-clean ASCII batches take the identity-normalization fast path
+    (no RE2 pass); rows must still equal the JVM twin exactly."""
+    import datetime
+
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import to_docs, to_docs_arrow
+
+    rows = [
+        (f"u{i}", f"clean text number {i} with Single spaces", "en")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(u, datetime.datetime(2026, 1, 1), None, t, l) for u, t, l in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    a = sorted(
+        (r.url, r.norm_text, r.n_chars, r.content_sha)
+        for r in to_docs(df, cfg).collect()
+    )
+    b = sorted(
+        (r.url, r.norm_text, r.n_chars, r.content_sha)
+        for r in to_docs_arrow(df, cfg).collect()
+    )
+    assert a == b
