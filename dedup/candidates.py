@@ -283,7 +283,13 @@ def sig_lookup_arrays(
     design path — no driver collect at scale)."""
     import numpy as np
 
-    pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in signatures.columns]
+    import re as _re
+
+    all_pres = sorted(
+        (c for c in signatures.columns if _re.fullmatch(r"pre\d+", c)),
+        key=lambda c: int(c[3:]),
+    )
+    pres = all_pres[:4] if not with_bands else all_pres
     cols = ["doc_id", "n_shingles", "simhash", *pres]
     if with_bands:
         cols.append("band_hashes")
@@ -304,13 +310,18 @@ def sig_lookup_arrays(
     ids = col("doc_id", np.int64)
     order = np.argsort(ids)
     pre = np.column_stack([col(c, np.int64) for c in pres])[order]
+    pre_bytes = np.ascontiguousarray(pre).view(np.uint8)
     out = {
         "ids": ids[order],
         "nsh": col("n_shingles", np.int64)[order],
         "sim": col("simhash", np.int64)[order],
-        # (n, 32) little-endian low bytes, row-aligned with ids
-        "pre": np.ascontiguousarray(pre).view(np.uint8),
+        # (n, 32) little-endian low bytes (stage-1 prefix), row-aligned
+        "pre": pre_bytes[:, :32],
     }
+    if pre_bytes.shape[1] > 32:
+        # full byte-packed MinHash width — lets the bcast kernel run the
+        # stage-2 refine (verify.refine_est_pairs twin) in-kernel
+        out["pre_full"] = pre_bytes
     if with_bands:
         from dedup.hashing import _vfmix
 
@@ -705,6 +716,7 @@ def fused_candidates_bcast(
     cap: int = 0,
     n_parts: int | None = None,
     use_simhash: bool = True,
+    full_est: bool = False,
 ) -> DataFrame:
     """Exchange-free twin of ``fused_candidates_lookup``: identical
     (pair, est) output (parity test in tests/test_verify_arrow.py), but
@@ -736,6 +748,15 @@ def fused_candidates_bcast(
     ratio = cfg.jaccard_thresh
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
     floor = est_filter_floor(cfg, perms=p)
+    # full_est: also run the stage-2 refine in-kernel (twin of
+    # verify.refine_est_pairs): re-estimate stage-1 survivors over the
+    # FULL byte-packed width against its tighter floor, so the JVM side
+    # sees only final refined pairs — the 1M-row survivor distinct, the
+    # two refine broadcast joins and their checkpoint disappear. The
+    # per-duplicate filter decision is identical for identical byte
+    # rows, so refine-then-distinct == distinct-then-refine.
+    p_full = min(cfg.num_perm, 8 * ((cfg.num_perm + 7) // 8))
+    floor_full = est_filter_floor(cfg, perms=p_full)
     if n_parts is None:
         n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
 
@@ -765,6 +786,10 @@ def fused_candidates_bcast(
         doc_all = lk["ids"]
         pre_all = lk["pre"]
         sim_all = lk["sim"].view(np.uint64)
+        pf_all = lk.get("pre_full") if full_est else None
+        if full_est and pf_all is None:
+            raise ValueError("full_est needs the pre_full lookup sideband")
+        n_bytes_full = pf_all.shape[1] if pf_all is not None else 0
         n_docs, b = bands.shape
         key_lsh = bands.reshape(-1)  # view, no copy
         part_lsh = lk["part32_lsh"].astype(np.uint64)  # precomputed mix bits
@@ -846,11 +871,26 @@ def fused_candidates_bcast(
                     eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                     est = (eq - (32 - p)) / float(p)
                     keep2 = est >= floor
-                    if keep2.any():
-                        ia, ib, est = ia[keep2], ib[keep2], est[keep2]
-                        srcs.append(np.minimum(doc[ia], doc[ib]))
-                        dsts.append(np.maximum(doc[ia], doc[ib]))
-                        ests.append(est)
+                    if not keep2.any():
+                        continue
+                    ia, ib, est = ia[keep2], ib[keep2], est[keep2]
+                    if pf_all is not None:
+                        # in-kernel stage-2 refine: full-width byte
+                        # estimate over the stage-1 survivors only
+                        # (gathered per survivor — never a slice-wide
+                        # copy of the 128-byte matrix)
+                        ga, gb = o_s[ia], o_s[ib]
+                        eqf = (pf_all[ga] == pf_all[gb]).sum(
+                            axis=1, dtype=np.int64
+                        )
+                        estf = (eqf - (n_bytes_full - p_full)) / float(p_full)
+                        keep3 = estf >= floor_full
+                        if not keep3.any():
+                            continue
+                        ia, ib, est = ia[keep3], ib[keep3], estf[keep3]
+                    srcs.append(np.minimum(doc[ia], doc[ib]))
+                    dsts.append(np.maximum(doc[ia], doc[ib]))
+                    ests.append(est)
             if srcs:
                 yield pa.RecordBatch.from_arrays(
                     [

@@ -182,6 +182,7 @@ def build_edges(
         sig_sh = with_shingle_signatures(reps, cfg)
     sigs = sig_sh
     slim = all(c in sigs.columns for c in ("pre0", "pre1", "pre2", "pre3"))
+    pre_refined = False  # set by the bcast branch when refine ran in-kernel
     if slim and cfg.salt_hot_thresh <= 0 and bcast_sigs:
         # Exchange-free broadcast candidate kernel
         # (candidates.fused_candidates_bcast): ALL per-doc metadata —
@@ -195,19 +196,23 @@ def build_edges(
         # task-time inflater. Same (pair, est) output as the
         # shuffle-path kernels below (parity-tested); the bucket cap
         # folds in-kernel (no extra stats pass).
-        lookup_bc = docs.sparkSession.sparkContext.broadcast(
-            sig_lookup_arrays(
-                sigs,
-                with_bands=True,
-                parquet_dir=getattr(sigs, "_dedup_spill_dir", None),
-            )
+        lookup = sig_lookup_arrays(
+            sigs,
+            with_bands=True,
+            parquet_dir=getattr(sigs, "_dedup_spill_dir", None),
         )
+        # full-width packed bytes available → the kernel also runs the
+        # stage-2 refine (verify.refine_est_pairs twin) in place, so
+        # the JVM only ever sees final refined pairs
+        pre_refined = "pre_full" in lookup
+        lookup_bc = docs.sparkSession.sparkContext.broadcast(lookup)
         cands = fused_candidates_bcast(
             docs.sparkSession,
             lookup_bc,
             cfg,
             cap=cfg.bucket_cap,
             use_simhash=use_simhash,
+            full_est=pre_refined,
         )
     elif slim and cfg.salt_hot_thresh <= 0:
         # fused numpy bucket scan (candidates.lsh_candidates_arrow):
@@ -245,7 +250,12 @@ def build_edges(
     # exact verification recomputes shingles only for est-passing docs
     # (with_shingles_np) — the full shingle table is never materialized
     near = verify_jaccard_lazy(
-        cands, docs, cfg, signatures=sigs, broadcast_sigs=bcast_sigs
+        cands,
+        docs,
+        cfg,
+        signatures=sigs,
+        broadcast_sigs=bcast_sigs,
+        pre_refined=pre_refined,
     )
     # lazy shingles frame, API compat for callers that want it
     shingles = with_shingles_np(reps, cfg)

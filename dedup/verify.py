@@ -453,6 +453,7 @@ def verify_jaccard_lazy(
     cfg: DedupConfig,
     signatures: DataFrame,
     broadcast_sigs: bool = False,
+    pre_refined: bool = False,
 ) -> DataFrame:
     """Candidate pairs → verified 'near' edges, recomputing shingles only
     for docs that survive the MinHash-estimate pre-filter — from TEXT,
@@ -483,8 +484,14 @@ def verify_jaccard_lazy(
         # signatures carry the full byte-packed width, run the tighter
         # stage-2 refinement on the distinct survivors before pinning —
         # its floor rejects most borderline pairs that would otherwise
-        # ship text into the exact-verify kernel.
-        if len(_all_pre_cols(signatures)) > 4:
+        # ship text into the exact-verify kernel. ``pre_refined`` means
+        # the candidate kernel already applied the full-width refine
+        # in-kernel (fused_candidates_bcast full_est) — identical
+        # semantics, so re-running it here would be two broadcast joins
+        # for nothing.
+        if pre_refined:
+            est_frame = pairs
+        elif len(_all_pre_cols(signatures)) > 4:
             est_frame = refine_est_pairs(
                 pairs.drop("est_jacc"), signatures, cfg, broadcast_sigs=broadcast_sigs
             )

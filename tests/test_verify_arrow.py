@@ -507,3 +507,40 @@ def test_fused_candidates_bcast_matches_lookup(spark, tiny_pages_df):
         )
         want_lsh = pairset(lsh_candidates_lookup(sigs, bc, cfg, cap=cap))
         assert got_lsh == want_lsh
+
+
+def test_fused_candidates_bcast_full_est_matches_refine(spark, tiny_pages_df):
+    """full_est mode == exchange-kernel survivors run through the JVM
+    stage-2 refine (verify.refine_est_pairs): same pairs, same
+    full-width estimates."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_slim_signatures
+    from dedup.candidates import (
+        fused_candidates_bcast,
+        fused_candidates_lookup,
+        sig_lookup_arrays,
+    )
+    from dedup.verify import refine_est_pairs
+
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+    lk = sig_lookup_arrays(sigs, with_bands=True)
+    assert "pre_full" in lk
+    bc = spark.sparkContext.broadcast(lk)
+
+    def pairset(df):
+        return {
+            (r.src, r.dst, round(r.est_jacc, 9))
+            for r in df.dropDuplicates(["src", "dst"]).collect()
+        }
+
+    got = pairset(fused_candidates_bcast(spark, bc, cfg, n_parts=4, full_est=True))
+    survivors = (
+        fused_candidates_lookup(sigs, bc, cfg)
+        .dropDuplicates(["src", "dst"])
+        .drop("est_jacc")
+    )
+    want = pairset(refine_est_pairs(survivors, sigs, cfg))
+    assert got == want
+    assert got, "degenerate fixture: no refined candidates"
