@@ -388,7 +388,11 @@ def _all_pre_cols(signatures: DataFrame) -> list[str]:
 
 
 #: broadcast the slim signature frame into the refine joins below this
-#: many docs: ~136 B/doc byte-packed → ≤ ~140 MB build side. Same
+#: many docs: ~136 B/doc byte-packed → ≤ ~140 MB build side (the
+#: pipeline's candidate-kernel sideband is wider — ~380 B/doc with the
+#: band matrix + full packed width + partition bits ≈ 380 MB at the
+#: gate, one materialized copy per Python worker process — sized for
+#: the 128 GiB local bench host; real executors each hold one). Same
 #: rationale as BROADCAST_PAIRS_MAX — AQE materializes every
 #: shuffle-join map side before it can demote to broadcast, so without
 #: the hint the DISTINCT pair frame and both signature projections each
