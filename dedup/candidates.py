@@ -315,13 +315,16 @@ def sig_lookup_arrays(
         "ids": ids[order],
         "nsh": col("n_shingles", np.int64)[order],
         "sim": col("simhash", np.int64)[order],
-        # (n, 32) little-endian low bytes (stage-1 prefix), row-aligned
-        "pre": pre_bytes[:, :32],
     }
     if pre_bytes.shape[1] > 32:
         # full byte-packed MinHash width — lets the bcast kernel run the
-        # stage-2 refine (verify.refine_est_pairs twin) in-kernel
+        # stage-2 refine (verify.refine_est_pairs twin) in-kernel; the
+        # stage-1 32-byte prefix is its leading columns (see _pre32), so
+        # shipping a separate "pre" copy would only grow the broadcast
         out["pre_full"] = pre_bytes
+    else:
+        # (n, 32) little-endian low bytes (stage-1 prefix), row-aligned
+        out["pre"] = pre_bytes
     if with_bands:
         from dedup.hashing import _vfmix
 
@@ -346,6 +349,13 @@ def sig_lookup_arrays(
         mixed = _vfmix(out["bands"].reshape(-1).view(np.uint64).copy())
         out["part32_lsh"] = (mixed >> np.uint64(32)).astype(np.uint32)
     return out
+
+
+def _pre32(lk: dict):
+    """Stage-1 32-byte MinHash prefix of a lookup dict — the leading
+    columns of the full-width matrix when that is what shipped (the
+    broadcast never carries both copies)."""
+    return lk["pre"] if "pre" in lk else lk["pre_full"][:, :32]
 
 
 def simhash_chunk_keys(sim: "np.ndarray", n_chunks: int, width: int):
@@ -437,7 +447,7 @@ def lsh_candidates_lookup(
         lk = lookup_bc.value
         pos = np.searchsorted(lk["ids"], doc)
         nsh = lk["nsh"][pos]
-        pre = lk["pre"][pos]
+        pre = _pre32(lk)[pos]
         srcs, dsts, ests = [], [], []
         for ia, ib in _pair_blocks(bh):
             lo = np.minimum(nsh[ia], nsh[ib])
@@ -536,7 +546,7 @@ def simhash_candidates_lookup(
         pos = np.searchsorted(lk["ids"], doc)
         nsh = lk["nsh"][pos]
         sim = lk["sim"][pos].view(np.uint64)
-        pre = lk["pre"][pos]
+        pre = _pre32(lk)[pos]
         srcs, dsts, ests = [], [], []
         for ia, ib in _pair_blocks(ck):
             x = sim[ia] ^ sim[ib]
@@ -675,7 +685,7 @@ def fused_candidates_lookup(
         pos = np.searchsorted(lk["ids"], doc)
         nsh = lk["nsh"][pos]
         sim = lk["sim"][pos].view(np.uint64)
-        pre = lk["pre"][pos]
+        pre = _pre32(lk)[pos]
         srcs, dsts, ests = [], [], []
         for ia, ib in _pair_blocks(seg_key):
             lo = np.minimum(nsh[ia], nsh[ib])
@@ -784,7 +794,7 @@ def fused_candidates_bcast(
         bands = lk["bands"]  # (n, b) int64 — key space tag 0
         nsh_all = lk["nsh"]
         doc_all = lk["ids"]
-        pre_all = lk["pre"]
+        pre_all = _pre32(lk)
         sim_all = lk["sim"].view(np.uint64)
         pf_all = lk.get("pre_full") if full_est else None
         if full_est and pf_all is None:

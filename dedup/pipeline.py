@@ -119,7 +119,10 @@ def _spill(df: DataFrame, name: str) -> DataFrame:
         w = w.option("compression", "uncompressed")
     with job_desc(df.sparkSession, f"dedup: spill {name}"):
         w.mode("overwrite").parquet(d)
-        out = df.sparkSession.read.parquet(d)
+        # explicit schema: the read-back otherwise runs a footer-sampling
+        # schema-inference job per spill — pure driver-side latency that
+        # does not shrink with cores
+        out = df.sparkSession.read.schema(df.schema).parquet(d)
         # breadcrumb for driver-side native reads of the spilled files
         # (e.g. candidates.sig_lookup_arrays skips a Spark collect job)
         out._dedup_spill_dir = d
