@@ -266,10 +266,40 @@ def _pair_blocks(key):
         d += 1
 
 
+#: bucket-aligned slice count of the presorted broadcast entry orders —
+#: tasks map runtime-P partition ids onto contiguous slice ranges, so
+#: one build works for every session parallelism
+_BCAST_SLICES = 2048
+
+
+def _aligned_bounds(sorted_keys, n_slices: int):
+    """Slice boundaries over a SORTED key array, snapped to bucket
+    starts (a bucket — a run of equal keys — never splits)."""
+    import numpy as np
+
+    m = len(sorted_keys)
+    if m == 0:
+        return np.zeros(n_slices + 1, dtype=np.int64)
+    starts = np.flatnonzero(np.diff(sorted_keys) != 0) + 1  # bucket starts > 0
+    targets = (np.arange(1, n_slices, dtype=np.int64) * m) // n_slices
+    snapped = starts[
+        np.minimum(np.searchsorted(starts, targets, side="left"), len(starts) - 1)
+    ] if len(starts) else np.zeros(n_slices - 1, dtype=np.int64)
+    bounds = np.empty(n_slices + 1, dtype=np.int64)
+    bounds[0] = 0
+    bounds[-1] = m
+    bounds[1:-1] = snapped if len(starts) else 0
+    # monotone guard (snapping can step backwards past the end)
+    np.maximum.accumulate(bounds, out=bounds)
+    np.minimum(bounds, m, out=bounds)
+    return bounds
+
+
 def sig_lookup_arrays(
     signatures: DataFrame,
     with_bands: bool = False,
     parquet_dir: str | None = None,
+    cfg: DedupConfig | None = None,
 ) -> dict:
     """Driver-side collect of the slim signature frame into doc_id-sorted
     numpy lookup arrays — the broadcast sideband of the ``*_lookup``
@@ -338,16 +368,34 @@ def sig_lookup_arrays(
         out["bands"] = np.ascontiguousarray(
             vals[offs[0] :].reshape(len(ids), b)[order]
         )
-        # Precomputed sideband for fused_candidates_bcast — built ONCE
-        # here so the per-task cost in the kernel is selection + sort of
-        # its ~1/P slice only:
-        #  - "part32": top-32 avalanche bits of every tagged bucket key
-        #    (LSH entries row-major, then simhash-chunk entries
-        #    row-major), consumed by a multiply-shift partitioner
-        #    pid = (part32 * P) >> 32 — equal keys get equal bits, so a
-        #    bucket always lands whole whatever P the session picks.
-        mixed = _vfmix(out["bands"].reshape(-1).view(np.uint64).copy())
-        out["part32_lsh"] = (mixed >> np.uint64(32)).astype(np.uint32)
+        if cfg is not None:
+            # Presorted sideband for fused_candidates_bcast: entries of
+            # each key space globally argsorted ONCE here, plus
+            # bucket-aligned slice boundaries — a kernel task gathers
+            # only its contiguous 1/P of the entry space and its keys
+            # arrive already sorted. The earlier per-task design (mix +
+            # full-space selection scan per task) made task-time grow
+            # with the task COUNT — total candidate task-seconds
+            # inflated 4.5× going 8→32 cores on identical work.
+            bands_flat = out["bands"].reshape(-1)
+            order_lsh = np.argsort(bands_flat)
+            out["order_lsh"] = order_lsh.astype(np.uint32)
+            out["bounds_lsh"] = _aligned_bounds(
+                bands_flat[order_lsh], _BCAST_SLICES
+            )
+            n_chunks = cfg.hamming_thresh + 1
+            width = cfg.simhash_bits // n_chunks
+            ck_flat = simhash_chunk_keys(out["sim"], n_chunks, width).reshape(-1)
+            order_sim = np.argsort(ck_flat)
+            out["order_sim"] = order_sim.astype(np.uint32)
+            out["bounds_sim"] = _aligned_bounds(
+                ck_flat[order_sim], _BCAST_SLICES
+            )
+        else:
+            # legacy sideband: top-32 avalanche bits per LSH entry for
+            # the kernel's multiply-shift partitioner (per-task scan)
+            mixed = _vfmix(out["bands"].reshape(-1).view(np.uint64).copy())
+            out["part32_lsh"] = (mixed >> np.uint64(32)).astype(np.uint32)
     return out
 
 
@@ -802,50 +850,14 @@ def fused_candidates_bcast(
         n_bytes_full = pf_all.shape[1] if pf_all is not None else 0
         n_docs, b = bands.shape
         key_lsh = bands.reshape(-1)  # view, no copy
-        part_lsh = lk["part32_lsh"].astype(np.uint64)  # precomputed mix bits
-        if use_simhash:
-            ck = simhash_chunk_keys(lk["sim"], n_chunks, width)  # (n, nc)
-            key_sim = ck.reshape(-1)
-            # tag folds in via a constant xor pre-avalanche so an LSH
-            # band hash and a chunk key that happen to collide stay in
-            # distinct buckets-spaces deterministically
-            part_sim = _vfmix(
-                key_sim.view(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15)
-            ) >> np.uint64(32)
-        P = np.uint64(n_parts)
-        for pid in my_parts:
-            upid = np.uint64(pid)
-            # multiply-shift partitioner over the precomputed top-32
-            # mix bits: pid = (part32 * P) >> 32
-            sel0 = np.flatnonzero((part_lsh * P) >> np.uint64(32) == upid)
-            own0 = sel0 // b
-            key0 = key_lsh[sel0]
-            o_parts = [own0]
-            k_parts = [key0]
-            if use_simhash:
-                sel1 = np.flatnonzero((part_sim * P) >> np.uint64(32) == upid)
-                own1 = sel1 // n_chunks
-                key1 = key_sim[sel1]
-                o_parts.append(own1)
-                k_parts.append(key1)
-            # sort each key space on its own, concatenate in tag order —
-            # equal to a (tag, key) lexsort of the union, at two plain
-            # argsorts' cost
-            n0 = len(key0)
-            ord0 = np.argsort(key0)
-            k_sorted = [key0[ord0]]
-            o_sorted = [own0[ord0]]
-            if use_simhash and len(k_parts[1]):
-                ord1 = np.argsort(k_parts[1])
-                k_sorted.append(k_parts[1][ord1])
-                o_sorted.append(o_parts[1][ord1])
-            k_s = np.concatenate(k_sorted)
-            o_s = np.concatenate(o_sorted)
+
+        def scan(k_s, o_s, t_s, srcs, dsts, ests):
+            """Grouped-key pair scan over one sorted slice: segment, cap
+            (LSH segments only), distance-block enumerate, D4 + hamming
+            + stage-1 est (+ in-kernel refine) filters."""
             m = len(k_s)
             if m == 0:
-                continue
-            t_s = np.zeros(m, dtype=np.int8)
-            t_s[n0:] = 1
+                return
             change = np.empty(m, dtype=bool)
             change[0] = True
             change[1:] = (k_s[1:] != k_s[:-1]) | (t_s[1:] != t_s[:-1])
@@ -863,12 +875,11 @@ def fused_candidates_bcast(
                         seg_key[keep_rows],
                     )
                     if len(k_s) == 0:
-                        continue
+                        return
             nsh = nsh_all[o_s]
             sim = sim_all[o_s]
             pre = pre_all[o_s]
             doc = doc_all[o_s]
-            srcs, dsts, ests = [], [], []
             for ia, ib in _pair_blocks(seg_key):
                 lo = np.minimum(nsh[ia], nsh[ib])
                 hi = np.maximum(nsh[ia], nsh[ib])
@@ -901,15 +912,104 @@ def fused_candidates_bcast(
                     srcs.append(np.minimum(doc[ia], doc[ib]))
                     dsts.append(np.maximum(doc[ia], doc[ib]))
                     ests.append(est)
-            if srcs:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(srcs)),
-                        pa.array(np.concatenate(dsts)),
-                        pa.array(np.concatenate(ests)),
-                    ],
-                    schema=out_schema,
+
+        def flush(srcs, dsts, ests):
+            if not srcs:
+                return None
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(srcs)),
+                    pa.array(np.concatenate(dsts)),
+                    pa.array(np.concatenate(ests)),
+                ],
+                schema=out_schema,
+            )
+
+        P = int(n_parts)
+        if "order_lsh" in lk:
+            # presorted sideband: entries argsorted by key driver-side,
+            # bucket-aligned slice bounds — a task gathers ONLY its
+            # contiguous 1/P of each key space (keys arrive sorted; no
+            # per-task full-space scan, whose cost grew with the task
+            # count and inflated candidate task-seconds 4.5× at 8→32)
+            order_l, bounds_l = lk["order_lsh"], lk["bounds_lsh"]
+            order_s, bounds_s = lk["order_sim"], lk["bounds_sim"]
+            S = len(bounds_l) - 1
+            mask = np.uint64((1 << width) - 1)
+            for pid in my_parts:
+                s0 = (S * int(pid)) // P
+                s1 = (S * (int(pid) + 1)) // P
+                srcs, dsts, ests = [], [], []
+                idx = order_l[bounds_l[s0] : bounds_l[s1]].astype(np.int64)
+                scan(
+                    key_lsh[idx],
+                    idx // b,
+                    np.zeros(len(idx), dtype=np.int8),
+                    srcs,
+                    dsts,
+                    ests,
                 )
+                if use_simhash:
+                    idx = order_s[bounds_s[s0] : bounds_s[s1]].astype(np.int64)
+                    own = idx // n_chunks
+                    ci = (idx % n_chunks).astype(np.uint64)
+                    k_sim = (ci.astype(np.int64) << width) | (
+                        (sim_all[own] >> (ci * np.uint64(width))) & mask
+                    ).astype(np.int64)
+                    scan(
+                        k_sim,
+                        own,
+                        np.ones(len(idx), dtype=np.int8),
+                        srcs,
+                        dsts,
+                        ests,
+                    )
+                rb = flush(srcs, dsts, ests)
+                if rb is not None:
+                    yield rb
+            return
+        # legacy sideband (no presorted orders): per-task multiply-shift
+        # selection over the precomputed top-32 mix bits
+        part_lsh = lk["part32_lsh"].astype(np.uint64)
+        if use_simhash:
+            ck = simhash_chunk_keys(lk["sim"], n_chunks, width)  # (n, nc)
+            key_sim = ck.reshape(-1)
+            # tag folds in via a constant xor pre-avalanche so an LSH
+            # band hash and a chunk key that happen to collide stay in
+            # distinct bucket-spaces deterministically
+            part_sim = _vfmix(
+                key_sim.view(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(32)
+        Pu = np.uint64(n_parts)
+        for pid in my_parts:
+            upid = np.uint64(pid)
+            sel0 = np.flatnonzero((part_lsh * Pu) >> np.uint64(32) == upid)
+            ord0 = np.argsort(key_lsh[sel0])
+            sel0 = sel0[ord0]
+            srcs, dsts, ests = [], [], []
+            scan(
+                key_lsh[sel0],
+                sel0 // b,
+                np.zeros(len(sel0), dtype=np.int8),
+                srcs,
+                dsts,
+                ests,
+            )
+            if use_simhash:
+                sel1 = np.flatnonzero((part_sim * Pu) >> np.uint64(32) == upid)
+                ord1 = np.argsort(key_sim[sel1])
+                sel1 = sel1[ord1]
+                scan(
+                    key_sim[sel1],
+                    sel1 // n_chunks,
+                    np.ones(len(sel1), dtype=np.int8),
+                    srcs,
+                    dsts,
+                    ests,
+                )
+            rb = flush(srcs, dsts, ests)
+            if rb is not None:
+                yield rb
 
     return spark.range(0, n_parts, 1, numPartitions=n_parts).mapInArrow(
         run, schema="src long, dst long, est_jacc double"

@@ -203,6 +203,7 @@ def build_edges(
             sigs,
             with_bands=True,
             parquet_dir=getattr(sigs, "_dedup_spill_dir", None),
+            cfg=cfg,  # enables the presorted-slice kernel layout
         )
         # full-width packed bytes available → the kernel also runs the
         # stage-2 refine (verify.refine_est_pairs twin) in place, so

@@ -544,3 +544,38 @@ def test_fused_candidates_bcast_full_est_matches_refine(spark, tiny_pages_df):
     want = pairset(refine_est_pairs(survivors, sigs, cfg))
     assert got == want
     assert got, "degenerate fixture: no refined candidates"
+
+
+def test_fused_candidates_bcast_presorted_matches_legacy(spark, tiny_pages_df):
+    """Presorted-slice layout (cfg-built orders + bucket-aligned bounds)
+    == legacy per-task-scan layout, for both modes and cap settings."""
+    from dedup.config import DEFAULT_CONFIG
+    from dedup.ingest import representatives, to_docs
+    from dedup.signatures import with_slim_signatures
+    from dedup.candidates import fused_candidates_bcast, sig_lookup_arrays
+
+    for cap in (0, 3):
+        cfg = DEFAULT_CONFIG.with_(bucket_cap=cap)
+        docs = to_docs(tiny_pages_df, cfg)
+        sigs = with_slim_signatures(representatives(docs, cfg), cfg)
+        legacy = sig_lookup_arrays(sigs, with_bands=True)
+        sliced = sig_lookup_arrays(sigs, with_bands=True, cfg=cfg)
+        assert "order_lsh" in sliced and "order_lsh" not in legacy
+        bc_l = spark.sparkContext.broadcast(legacy)
+        bc_s = spark.sparkContext.broadcast(sliced)
+
+        def pairset(df):
+            return {
+                (r.src, r.dst, round(r.est_jacc, 9))
+                for r in df.dropDuplicates(["src", "dst"]).collect()
+            }
+
+        for kw in (
+            dict(cap=cap, n_parts=5),
+            dict(cap=cap, n_parts=3, use_simhash=False),
+            dict(cap=cap, n_parts=4, full_est=True),
+        ):
+            got = pairset(fused_candidates_bcast(spark, bc_s, cfg, **kw))
+            want = pairset(fused_candidates_bcast(spark, bc_l, cfg, **kw))
+            assert got == want, kw
+            assert got, ("degenerate fixture", kw)
