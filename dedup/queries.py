@@ -74,7 +74,12 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     (url, warc_ts, html, text, lang) so the full pipeline runs on it."""
     return load(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        # spread captures 137 s apart so event-time ops (windows,
+        # watermarks) see a real timeline; urls are unique so the
+        # latest-capture pick is unaffected
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")).cast("long") + F.col("doc_id") * 137)
+        .cast("timestamp")
+        .alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         "text",
         "lang",
@@ -549,12 +554,25 @@ def q_hamming_simhash(spark, sf_dir):
 
 @register("substr_dedup")  # rows-only (E5: suffix-array containment)
 def q_substr_dedup(spark, sf_dir):
+    """E5 over one deterministic gen_pages tile: slots 90-94 are
+    containment docs by construction (base ± 20-200 tokens /
+    truncation, datagen._tokens_and_base), so the qkey provably emits
+    rows — the round-1 sf-sample run returned 0 rows, which proved
+    nothing. Bounded 100-doc crossJoin = the accepted oracle-twin
+    idiom; the at-scale path is pipeline.run_dedup(use_containment=True)
+    (LSH candidates → verify_containment)."""
+    from dedup.datagen import gen_pages
     from dedup.verify import verify_containment
 
     cfg = DEFAULT_CONFIG.with_(substr_min_len=40)
-    d = docs_norm(spark, sf_dir).select(
-        "doc_id", "norm_text", F.length("norm_text").cast("long").alias("n_chars")
-    ).limit(60)
+    d = (
+        gen_pages(spark, 100, seed=42, partitions=4)
+        .select(
+            F.col("url").alias("doc_id"),
+            normalize_text("text").alias("norm_text"),
+        )
+        .withColumn("n_chars", F.length("norm_text").cast("long"))
+    )
     a = d.select(F.col("doc_id").alias("src"))
     b = d.select(F.col("doc_id").alias("dst"))
     pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
@@ -581,7 +599,7 @@ def q_exact_dedup(spark, sf_dir):
 
 @register(
     "group_agg",
-    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,"
+    "SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,"
     " round(avg(n_chars), 4) AS avg_chars, min(n_chars) AS min_chars,"
     " max(n_chars) AS max_chars FROM documents GROUP BY lang",
 )
@@ -615,7 +633,7 @@ def q_approx_metrics(spark, sf_dir):
 @register(
     "rollup_report",
     "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,"
-    " count(*) AS n_docs, sum(n_chars) AS sum_chars FROM documents"
+    " count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM documents"
     " GROUP BY ROLLUP(lang, source)",
 )
 def q_rollup_report(spark, sf_dir):
@@ -1181,7 +1199,7 @@ def _staged_pages(spark, sf_dir) -> str:
     return staging
 
 
-def _run_stream(df_stream, name: str) -> str:
+def _run_stream(df_stream, name: str, mode: str = "append") -> str:
     # unique sink name per invocation: re-registering a memory sink
     # under the same queryName in one session is an error
     import uuid
@@ -1190,7 +1208,7 @@ def _run_stream(df_stream, name: str) -> str:
     q = (
         df_stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -1226,9 +1244,13 @@ def q_stream_windows(spark, sf_dir):
     from dedup.streaming import ingest_rate, read_page_stream
 
     staging = _staged_pages(spark, sf_dir)
+    # complete mode: a finite availableNow run never advances the
+    # watermark past the last open window, so append would hold back
+    # every still-open window (0 rows when all data fits one trigger)
     name = _run_stream(
         ingest_rate(read_page_stream(spark, staging), window="1 hour"),
         "q_stream_windows",
+        mode="complete",
     )
     return spark.table(name)
 
