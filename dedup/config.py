@@ -39,6 +39,17 @@ class DedupConfig:
     # --- MinHash ---
     num_perm: int = 128
     perm_seed: int = 42         # seeds the c_j constants of the permutation family
+    #: signature scheme: "oph" = one-permutation hashing (Li/Owen/Zhang
+    #: 2012) with rotation densification (Shrivastava/Li 2014) — slot j
+    #: holds the min shingle hash whose top log2(num_perm) bits equal j;
+    #: ONE pass over the shingle hashes fills all slots, vs num_perm
+    #: full mix passes for "perm" (the classic splitmix64 family above,
+    #: kept as the oracle-parity twin). Both emit (num_perm,) uint64
+    #: signatures consumed identically downstream; the est-filter floors
+    #: adapt per pair under "oph" (verify.est_floor_*) because short
+    #: docs fill fewer slots. Recall/precision gates in tests/ run
+    #: against the exact-Jaccard oracle under the ACTIVE scheme.
+    minhash_scheme: str = "oph"
     bands: int = 16
     rows_per_band: int = 8      # bands * rows_per_band == num_perm
     # s-curve threshold ≈ (1/bands)^(1/rows) ≈ 0.707 for 16×8

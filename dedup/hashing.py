@@ -480,6 +480,98 @@ def minhash_batch(flat: np.ndarray, lengths: np.ndarray, consts: np.ndarray) -> 
     return out
 
 
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def oph_minhash_from_hashes(hashes: np.ndarray, num_perm: int) -> np.ndarray:
+    """One-permutation-hashing reference (naive per-doc loop, tests only).
+
+    Slot ``j`` of the signature is the MINIMUM shingle hash whose top
+    log2(num_perm) bits equal ``j`` (Li/Owen/Zhang 2012: one pass over
+    the set fills all slots, vs num_perm full mix passes for the
+    classic permutation family). Empty slots are densified with the
+    value of the nearest filled slot to the LEFT, circularly
+    (rotation densification, Shrivastava/Li 2014): a pure function of
+    the doc's own slot pattern, so two docs agree on a densified slot
+    iff they agree on the borrowed-from slot region — collision
+    probability stays ≈ J. All-empty input stays all-sentinel."""
+    k = int(num_perm).bit_length() - 1
+    if (1 << k) != num_perm:
+        raise ValueError(f"OPH needs power-of-two num_perm, got {num_perm}")
+    h = np.asarray(hashes).astype(np.int64, copy=False).view(np.uint64)
+    sig = np.full(num_perm, _U64_MAX, dtype=np.uint64)
+    shift = np.uint64(64 - k)
+    for x in h:
+        b = int(x >> shift)
+        if x < sig[b]:
+            sig[b] = x
+    filled = [j for j in range(num_perm) if sig[j] != _U64_MAX]
+    if filled:
+        for j in range(num_perm):
+            if sig[j] == _U64_MAX:
+                d = 1
+                while sig[(j - d) % num_perm] == _U64_MAX:
+                    d += 1
+                sig[j] = sig[(j - d) % num_perm]
+    return sig
+
+
+def oph_minhash_batch(
+    flat: np.ndarray, lengths: np.ndarray, num_perm: int,
+    assume_sorted: bool = True,
+) -> np.ndarray:
+    """Batched one-permutation MinHash — bit-identical to
+    ``oph_minhash_from_hashes`` per doc (asserted in tests), ~2 passes
+    over the data instead of the classic family's num_perm mix passes.
+
+    The scheme is chosen to exploit the k-gram hasher's layout contract:
+    per-doc shingle hashes arrive DISTINCT and ASCENDING in unsigned
+    order, so slot ids (top bits) are non-decreasing within a segment
+    and the slot minimum is simply the FIRST element of each slot run —
+    one first-occurrence scan fills every slot of every doc, no mix, no
+    reduceat, no sort. This removes the pipeline's dominant DRAM load
+    (the 128-pass splitmix kernel measured ~244 task-core-s at
+    500k docs / local[32] and inflated with cores).
+
+    Densification = nearest filled slot to the left (circular), computed
+    by pointer doubling on the (docs, num_perm) slot matrix: after step
+    k every empty slot holds the nearest filled value within 2^k, so
+    log2(num_perm) vectorized rolls densify every doc. Only rows that
+    still have empty slots participate in each round."""
+    k = int(num_perm).bit_length() - 1
+    if (1 << k) != num_perm:
+        raise ValueError(f"OPH needs power-of-two num_perm, got {num_perm}")
+    n = len(lengths)
+    out = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
+    if n == 0 or np.asarray(flat).size == 0:
+        return out
+    h = np.asarray(flat).astype(np.int64, copy=False).view(np.uint64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    if not assume_sorted:
+        order = np.lexsort((h, rows))
+        h, rows = h[order], rows[order]
+    slots = (h >> np.uint64(64 - k)).astype(np.int64)
+    first = np.empty(len(h), dtype=bool)
+    first[0] = True
+    np.logical_or(slots[1:] != slots[:-1], rows[1:] != rows[:-1], out=first[1:])
+    out[rows[first], slots[first]] = h[first]
+    # densify: pointer-doubling nearest-filled-to-the-left, empty rows only
+    need = np.flatnonzero((out == _U64_MAX).any(axis=1) & (lengths > 0))
+    if len(need):
+        sub = out[need]
+        d = 1
+        while d < num_perm:
+            empty = sub == _U64_MAX
+            if not empty.any():
+                break
+            cand = np.roll(sub, d, axis=1)
+            np.copyto(sub, cand, where=empty & (cand != _U64_MAX))
+            d <<= 1
+        out[need] = sub
+    return out
+
+
 def simhash_batch(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Batched SimHash: one int64 per doc, bit-identical to
     ``simhash_from_hashes`` per doc. Bit matrix comes from

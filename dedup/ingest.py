@@ -14,6 +14,7 @@ via 'exact' edges.
 
 from __future__ import annotations
 
+import numpy as _np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,8 +23,6 @@ from dedup.text import extract_text_udf, normalize_text
 
 #: ASCII whitespace bytes other than space — presence anywhere in a
 #: batch rules out the ingest kernel's identity-normalization fast path
-import numpy as _np
-
 _WS_NONSPACE = _np.frombuffer(b"\t\n\r\f\x0b", dtype=_np.uint8)
 
 

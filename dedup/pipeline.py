@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from dedup.candidates import (
+    BROADCAST_SIDEBAND_MAX_BYTES,
     cap_buckets,
+    estimate_sideband_bytes,
     fused_candidates_bcast,
     lsh_candidates_arrow,
     sig_lookup_arrays,
@@ -161,8 +163,17 @@ def build_edges(
     n_docs = docs.count() if persist else None
     bcast_ids = persist and n_docs <= BROADCAST_REP_IDS_MAX
     # the slim signature frame (~136 B/doc) is broadcastable far below
-    # the 8 B/doc id frame's cap — separate threshold (verify.py)
-    bcast_sigs = persist and n_docs <= BROADCAST_SIGS_MAX
+    # the 8 B/doc id frame's cap — separate threshold (verify.py) plus
+    # a BYTES bound on the candidate-kernel sideband for the widest
+    # layout this run can select (with_bands + full width): a config
+    # that widens the per-doc payload must not ride a doc-count-only
+    # gate into an oversized per-worker broadcast
+    bcast_sigs = (
+        persist
+        and n_docs <= BROADCAST_SIGS_MAX
+        and estimate_sideband_bytes(n_docs, cfg, with_bands=True, full_width=True)
+        <= BROADCAST_SIDEBAND_MAX_BYTES
+    )
     reps = representatives(docs, cfg, broadcast_ids=bcast_ids)
     # fused stage: shingle hashing + minhash + simhash in ONE Arrow
     # crossing (signatures.with_shingle_signatures) — the JVM shingle

@@ -28,7 +28,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup.config import DedupConfig
-from dedup.hashing import minhash_batch, perm_consts, simhash_batch
+from dedup.hashing import minhash_batch, oph_minhash_batch, perm_consts, simhash_batch
+
+
+def _mh_matrix(flat, lengths, cfg: DedupConfig, consts, sorted_segments: bool):
+    """Scheme dispatch for the batched signature kernels: "oph" does one
+    first-occurrence pass (plus densify) over the shingle hashes,
+    exploiting the ascending per-doc layout where the caller guarantees
+    it; "perm" is the classic num_perm-pass splitmix family."""
+    if cfg.minhash_scheme == "oph":
+        return oph_minhash_batch(
+            flat, lengths, cfg.num_perm, assume_sorted=sorted_segments
+        )
+    return minhash_batch(flat, lengths, consts)
 
 
 def shingles_expr(text_col: str, k: int) -> F.Column:
@@ -80,7 +92,7 @@ def with_signatures(shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
             values = col.values.to_numpy(zero_copy_only=False)
             flat = values[off[0] : off[-1]]
             lengths = np.diff(off)
-            mh = minhash_batch(flat, lengths, consts).view(np.int64)
+            mh = _mh_matrix(flat, lengths, cfg, consts, sorted_segments=False).view(np.int64)
             simh = simhash_batch(flat, lengths)
             n = len(lengths)
             mh_list = pa.ListArray.from_arrays(
@@ -212,7 +224,7 @@ def with_shingle_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             )
             flat_u64, lengths = hash_char_kgrams(data, offsets, k)
             flat = flat_u64.view(np.int64)
-            mh = minhash_batch(flat, lengths, consts).view(np.int64)
+            mh = _mh_matrix(flat, lengths, cfg, consts, sorted_segments=True).view(np.int64)
             simh = simhash_batch(flat, lengths)
             mh_list = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
@@ -294,7 +306,7 @@ def with_slim_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             )
             flat_u64, lengths = hash_char_kgrams(data, offsets, k)
             flat = flat_u64.view(np.int64)
-            mh = minhash_batch(flat, lengths, consts)  # (n, num_perm) uint64
+            mh = _mh_matrix(flat, lengths, cfg, consts, sorted_segments=True)  # (n, num_perm) uint64
             bh = band_hashes_batch(mh, b, r).view(np.int64)
             simh = simhash_batch(flat, lengths)
             # byte-packed est bytes: low byte of each MinHash position,

@@ -66,6 +66,54 @@ def est_filter_floor(
     return max(0.0, t - n_sigma * sigma)
 
 
+# --- OPH-aware per-pair floors -------------------------------------------
+#
+# Under the one-permutation scheme (config.minhash_scheme == "oph") the
+# slot-agreement variance of a SHORT doc pair exceeds the binomial sd the
+# constant floor assumes: a doc with n shingles fills only ~K·(1-(1-1/K)^n)
+# of its K slots, and densified (borrowed) slots duplicate their source
+# slot's agreement, shrinking the number of independent draws in a
+# width-`perms` prefix to roughly n_eff = perms·q²/(2-q), q = fill rate
+# (the (2-q) term is a conservative run-length model of borrow lumping).
+# The floor therefore relaxes per pair as min(nsh) shrinks — junk pairs
+# sit at est ≈ 0.0-0.15 regardless, so selectivity is unaffected while
+# true short-doc pairs keep their ~4.5σ miss margin. For the classic
+# permutation family both helpers reduce to the constant floor.
+
+
+def _oph_n_eff(cfg: DedupConfig, perms: int, q):
+    return perms * q * q / (2.0 - q)
+
+
+def est_floor_np(cfg: DedupConfig, perms: int, nsh_min) -> "np.ndarray | float":
+    """Per-pair floor for a numpy kernel: scalar for the perm family,
+    an array aligned with ``nsh_min`` for OPH."""
+    if getattr(cfg, "minhash_scheme", "perm") != "oph":
+        return est_filter_floor(cfg, perms=perms)
+    import numpy as np
+
+    t = cfg.jaccard_thresh
+    q = 1.0 - (1.0 - 1.0 / cfg.num_perm) ** np.asarray(nsh_min, dtype=np.float64)
+    n_eff = np.maximum(1.0, _oph_n_eff(cfg, perms, q))
+    return np.maximum(0.0, t - 4.5 * np.sqrt(t * (1.0 - t) / n_eff))
+
+
+def est_floor_expr(cfg: DedupConfig, perms: int, nsh_min) -> F.Column:
+    """Column twin of ``est_floor_np`` (same formula, codegen scalar
+    functions only). ``nsh_min`` is a Column of min(n_shingles)."""
+    if getattr(cfg, "minhash_scheme", "perm") != "oph":
+        return F.lit(est_filter_floor(cfg, perms=perms))
+    t = cfg.jaccard_thresh
+    q = F.lit(1.0) - F.pow(
+        F.lit(1.0 - 1.0 / cfg.num_perm), nsh_min.cast("double")
+    )
+    n_eff = F.greatest(F.lit(1.0), F.lit(float(perms)) * q * q / (F.lit(2.0) - q))
+    return F.greatest(
+        F.lit(0.0),
+        F.lit(float(t)) - F.lit(4.5) * F.sqrt(F.lit(t * (1.0 - t)) / n_eff),
+    )
+
+
 def verify_jaccard(
     pairs: DataFrame,
     shingles: DataFrame,
@@ -82,10 +130,24 @@ def verify_jaccard(
     buckets) this cuts verify traffic by 1-2 orders of magnitude."""
     est = F.lit(None).cast("double")
     if signatures is not None:
-        withmh = join_pair_arrays(pairs, signatures, "minhash", "mh_a", "mh_b")
+        fa = signatures.select(
+            F.col("doc_id").alias("src"),
+            F.col("minhash").alias("mh_a"),
+            F.col("n_shingles").alias("n_a"),
+        )
+        fb = signatures.select(
+            F.col("doc_id").alias("dst"),
+            F.col("minhash").alias("mh_b"),
+            F.col("n_shingles").alias("n_b"),
+        )
         pairs = (
-            withmh.withColumn("est_jacc", est_jaccard_expr(num_perm=cfg.num_perm))
-            .filter(F.col("est_jacc") >= est_filter_floor(cfg))
+            pairs.join(fa, "src")
+            .join(fb, "dst")
+            .withColumn("est_jacc", est_jaccard_expr(num_perm=cfg.num_perm))
+            .filter(
+                F.col("est_jacc")
+                >= est_floor_expr(cfg, cfg.num_perm, F.least("n_a", "n_b"))
+            )
             .select("src", "dst", "est_jacc")
         )
         est = F.col("est_jacc")
@@ -103,15 +165,21 @@ def verify_jaccard(
     )
 
 
-def _est_agreement_arrow(withmh: DataFrame, num_perm: int) -> DataFrame:
-    """(src, dst, mh_a, mh_b) → (src, dst, est_jacc) via one mapInArrow
-    pass: the signature arrays are fixed-width ``num_perm``, so the whole
-    batch reshapes to (n, num_perm) and the positional-agreement count is
-    a single vectorized compare — replacing the per-element interpreted
+def _est_agreement_arrow(
+    withmh: DataFrame, num_perm: int, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """(src, dst, mh_a, mh_b[, passthrough…]) → (src, dst, est_jacc[,
+    passthrough…]) via one mapInArrow pass: the signature arrays are
+    fixed-width ``num_perm``, so the whole batch reshapes to
+    (n, num_perm) and the positional-agreement count is a single
+    vectorized compare — replacing the per-element interpreted
     ``zip_with``/``aggregate`` lambdas, whose object churn dominated the
     stage's JVM CPU at high core counts (profiled: ~3x task-time
-    inflation local[8] → local[32])."""
+    inflation local[8] → local[32]). ``passthrough`` columns (e.g. a
+    per-pair OPH floor) ride the batch unchanged."""
     import pyarrow as pa
+
+    extra_schema = "".join(f", {c} double" for c in passthrough)
 
     def run(batches):
         for rb in batches:
@@ -131,12 +199,13 @@ def _est_agreement_arrow(withmh: DataFrame, num_perm: int) -> DataFrame:
                     rb.column(rb.schema.get_field_index("src")),
                     rb.column(rb.schema.get_field_index("dst")),
                     pa.array(agree),
-                ],
-                names=["src", "dst", "est_jacc"],
+                ]
+                + [rb.column(rb.schema.get_field_index(c)) for c in passthrough],
+                names=["src", "dst", "est_jacc", *passthrough],
             )
 
-    return withmh.select("src", "dst", "mh_a", "mh_b").mapInArrow(
-        run, schema="src long, dst long, est_jacc double"
+    return withmh.select("src", "dst", "mh_a", "mh_b", *passthrough).mapInArrow(
+        run, schema="src long, dst long, est_jacc double" + extra_schema
     )
 
 
@@ -362,20 +431,33 @@ def est_filter_pairs(
     file stats are small; at cluster scale it degrades to an equi-join
     that AQE re-plans."""
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
-    floor = est_filter_floor(cfg, perms=p)
+    oph = cfg.minhash_scheme == "oph"
+    nsh_a = [F.col("n_shingles").alias("n_a")] if oph else []
+    nsh_b = [F.col("n_shingles").alias("n_b")] if oph else []
     fa = signatures.select(
         F.col("doc_id").alias("src"),
+        *nsh_a,
         *[F.col(c).alias(f"a{i}") for i, c in enumerate(_PRE_COLS)],
     )
     fb = signatures.select(
         F.col("doc_id").alias("dst"),
+        *nsh_b,
         *[F.col(c).alias(f"b{i}") for i, c in enumerate(_PRE_COLS)],
+    )
+    floor = (
+        est_floor_expr(cfg, p, F.least("n_a", "n_b"))
+        if oph
+        else F.lit(est_filter_floor(cfg, perms=p))
     )
     return (
         pairs.join(fa, "src")
         .join(fb, "dst")
-        .select("src", "dst", packed_agreement_expr(p).alias("est_jacc"))
-        .filter(F.col("est_jacc") >= floor)
+        .select(
+            "src", "dst", packed_agreement_expr(p).alias("est_jacc"),
+            floor.alias("_floor"),
+        )
+        .filter(F.col("est_jacc") >= F.col("_floor"))
+        .drop("_floor")
     )
 
 
@@ -424,7 +506,7 @@ def refine_est_pairs(
     superset of the exact-agreement-floor set."""
     pres = _all_pre_cols(signatures)
     p = min(cfg.num_perm, 8 * len(pres))
-    floor = est_filter_floor(cfg, perms=p)
+    floor = est_floor_expr(cfg, p, F.least("n_a", "n_b"))
     fa = signatures.select(
         F.col("doc_id").alias("src"),
         F.col("n_shingles").alias("n_a"),
@@ -504,30 +586,48 @@ def verify_jaccard_lazy(
         floor = None
     elif all(c in signatures.columns for c in _PRE_COLS):
         p = min(p, 32)
-        floor = est_filter_floor(cfg, perms=p)
         fa = signatures.select(
             F.col("doc_id").alias("src"),
+            F.col("n_shingles").alias("n_a"),
             *[F.col(c).alias(f"a{i}") for i, c in enumerate(_PRE_COLS)],
         )
         fb = signatures.select(
             F.col("doc_id").alias("dst"),
+            F.col("n_shingles").alias("n_b"),
             *[F.col(c).alias(f"b{i}") for i, c in enumerate(_PRE_COLS)],
         )
+        floor = est_floor_expr(cfg, p, F.least("n_a", "n_b"))
         est_frame = (
             pairs.join(fa, "src")
             .join(fb, "dst")
-            .select("src", "dst", packed_agreement_expr(p).alias("est_jacc"))
+            .select(
+                "src", "dst", packed_agreement_expr(p).alias("est_jacc"),
+                floor.alias("_floor"),
+            )
         )
+        floor = F.col("_floor")
     else:
-        floor = est_filter_floor(cfg, perms=p)
-        mh = (
-            F.col("minhash") if p == cfg.num_perm else F.slice("minhash", 1, p)
+        fa = signatures.select(
+            F.col("doc_id").alias("src"),
+            F.col("n_shingles").alias("n_a"),
+            (F.col("minhash") if p == cfg.num_perm else F.slice("minhash", 1, p)).alias("mh_a"),
         )
-        fa = signatures.select(F.col("doc_id").alias("src"), mh.alias("mh_a"))
-        fb = signatures.select(F.col("doc_id").alias("dst"), mh.alias("mh_b"))
-        est_frame = _est_agreement_arrow(pairs.join(fa, "src").join(fb, "dst"), p)
+        fb = signatures.select(
+            F.col("doc_id").alias("dst"),
+            F.col("n_shingles").alias("n_b"),
+            (F.col("minhash") if p == cfg.num_perm else F.slice("minhash", 1, p)).alias("mh_b"),
+        )
+        floor = est_floor_expr(cfg, p, F.least("n_a", "n_b"))
+        est_frame = _est_agreement_arrow(
+            pairs.join(fa, "src").join(fb, "dst").withColumn("_floor", floor),
+            p,
+            passthrough=("_floor",),
+        )
+        floor = F.col("_floor")
     if floor is not None:
         est_frame = est_frame.filter(F.col("est_jacc") >= floor)
+        if "_floor" in est_frame.columns:
+            est_frame = est_frame.drop("_floor")
     with job_desc(pairs.sparkSession, "dedup: candidates + est-filter"):
         passed = est_frame.localCheckpoint(eager=True)
     # est-survivor verification ships TEXT, not shingle arrays: the

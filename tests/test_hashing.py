@@ -224,3 +224,75 @@ def test_fused_signature_stage_matches_jvm_path(spark):
         assert f["n_shingles"] == jvm_sh[doc_id]["n_shingles"]
         assert f["minhash"] == jvm[doc_id]["minhash"]
         assert f["simhash"] == jvm[doc_id]["simhash"]
+
+
+def test_oph_batch_matches_reference():
+    """oph_minhash_batch must be bit-identical to the naive per-doc
+    reference on mixed doc shapes: empty, single-shingle, sparse (most
+    slots empty -> deep densification), dense (no empty slots)."""
+    import numpy as np
+
+    from dedup.hashing import oph_minhash_batch, oph_minhash_from_hashes
+
+    rng = np.random.default_rng(7)
+    num_perm = 128
+    docs = [
+        np.array([], dtype=np.uint64),
+        rng.integers(0, 1 << 63, size=1, dtype=np.uint64),
+        rng.integers(0, 1 << 63, size=5, dtype=np.uint64),
+        rng.integers(0, 1 << 63, size=60, dtype=np.uint64),
+        rng.integers(0, 1 << 63, size=900, dtype=np.uint64),
+        # adversarial: all hashes in one slot (top bits equal)
+        (np.uint64(3) << np.uint64(57)) | rng.integers(0, 1 << 40, size=40, dtype=np.uint64),
+    ]
+    docs = [np.unique(d) for d in docs]  # distinct + ascending (layout contract)
+    flat = np.concatenate(docs)
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    got = oph_minhash_batch(flat, lengths, num_perm)
+    for i, d in enumerate(docs):
+        want = oph_minhash_from_hashes(d, num_perm)
+        assert (got[i] == want).all(), f"doc {i} mismatch"
+
+
+def test_oph_batch_unsorted_path():
+    import numpy as np
+
+    from dedup.hashing import oph_minhash_batch
+
+    rng = np.random.default_rng(11)
+    docs = [rng.integers(0, 1 << 63, size=s, dtype=np.uint64) for s in (80, 300)]
+    docs = [np.unique(d) for d in docs]
+    flat_sorted = np.concatenate(docs)
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    shuffled = [d.copy() for d in docs]
+    for d in shuffled:
+        rng.shuffle(d)
+    got = oph_minhash_batch(
+        np.concatenate(shuffled), lengths, 128, assume_sorted=False
+    )
+    want = oph_minhash_batch(flat_sorted, lengths, 128)
+    assert (got == want).all()
+
+
+def test_oph_estimator_tracks_jaccard():
+    """Slot-agreement fraction of OPH signatures must approximate the
+    true Jaccard of the underlying sets (the property the est filter
+    and LSH banding rely on)."""
+    import numpy as np
+
+    from dedup.hashing import oph_minhash_batch
+
+    rng = np.random.default_rng(3)
+    # full-range uint64 like real xxh64 shingle hashes: every slot usable
+    base = np.unique(rng.integers(0, 2**64, size=1200, dtype=np.uint64))
+    for keep in (0.9, 0.7, 0.5):
+        other = base[rng.random(len(base)) < keep]
+        extra = np.unique(rng.integers(0, 2**64, size=120, dtype=np.uint64))
+        other = np.unique(np.concatenate([other, extra]))
+        inter = len(np.intersect1d(base, other))
+        true_j = inter / (len(base) + len(other) - inter)
+        flat = np.concatenate([base, other])
+        lengths = np.array([len(base), len(other)], dtype=np.int64)
+        sig = oph_minhash_batch(flat, lengths, 128)
+        est = (sig[0] == sig[1]).mean()
+        assert abs(est - true_j) < 0.12, (true_j, est)

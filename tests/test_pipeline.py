@@ -203,3 +203,50 @@ def test_multi_capture_urls_take_latest(spark, tiny_pages_df):
     }
     assert key(got.clusters) == key(clean.clusters)
     assert got.docs.count() == tiny_pages_df.count()
+
+
+def test_containment_end_to_end(spark, tiny_pages_df, tiny_pages):
+    """E5 in the full pipeline (round-1 verdict item 6): with
+    use_containment=True, candidate pairs that FAIL the near-Jaccard
+    verify but share a >=substr_min_len exact substring become 'substr'
+    edges and join the clustering. Asserts (a) the path actually fires,
+    (b) every emitted substr edge is TRUE by the driver-side suffix
+    kernel, (c) clustering with substr edges co-clusters at least as
+    many ground-truth containment pairs as without."""
+    from dedup.config import DEFAULT_CONFIG
+    from dedup.verify import longest_common_substring_len
+
+    pages, truth = tiny_pages
+    cfg = DEFAULT_CONFIG
+    res = run_dedup(
+        tiny_pages_df, cfg, use_containment=True,
+        edge_kinds=("exact", "near", "substr"),
+    )
+    sub = res.edges.filter(F.col("kind") == "substr").select("src", "dst").collect()
+    assert len(sub) > 0, "containment path emitted no substr edges"
+
+    # precision: re-verify every substr edge against the exact kernel
+    norm_by_id = {}
+    docs = res.docs.select("doc_id", "norm_text").collect()
+    for r in docs:
+        norm_by_id[r["doc_id"]] = r["norm_text"]
+    for r in sub:
+        overlap = longest_common_substring_len(
+            norm_by_id[r["src"]], norm_by_id[r["dst"]]
+        )
+        assert overlap >= cfg.substr_min_len, (r["src"], r["dst"], overlap)
+
+    def co_clustered(result):
+        cl = {
+            r["url"]: r["cluster_id"]
+            for r in result.clusters.select("url", "cluster_id").collect()
+        }
+        contain = truth[truth["kind"] == "contain"]
+        return sum(
+            cl[r["url"]] == cl[r["dup_of_url"]] for _, r in contain.iterrows()
+        )
+
+    base = run_dedup(tiny_pages_df, cfg)
+    n_contain = int((truth["kind"] == "contain").sum())
+    assert n_contain > 0
+    assert co_clustered(res) >= co_clustered(base)
