@@ -266,35 +266,6 @@ def _pair_blocks(key):
         d += 1
 
 
-#: bucket-aligned slice count of the presorted broadcast entry orders —
-#: tasks map runtime-P partition ids onto contiguous slice ranges, so
-#: one build works for every session parallelism
-_BCAST_SLICES = 2048
-
-
-def _aligned_bounds(sorted_keys, n_slices: int):
-    """Slice boundaries over a SORTED key array, snapped to bucket
-    starts (a bucket — a run of equal keys — never splits)."""
-    import numpy as np
-
-    m = len(sorted_keys)
-    if m == 0:
-        return np.zeros(n_slices + 1, dtype=np.int64)
-    starts = np.flatnonzero(np.diff(sorted_keys) != 0) + 1  # bucket starts > 0
-    targets = (np.arange(1, n_slices, dtype=np.int64) * m) // n_slices
-    snapped = starts[
-        np.minimum(np.searchsorted(starts, targets, side="left"), len(starts) - 1)
-    ] if len(starts) else np.zeros(n_slices - 1, dtype=np.int64)
-    bounds = np.empty(n_slices + 1, dtype=np.int64)
-    bounds[0] = 0
-    bounds[-1] = m
-    bounds[1:-1] = snapped if len(starts) else 0
-    # monotone guard (snapping can step backwards past the end)
-    np.maximum.accumulate(bounds, out=bounds)
-    np.minimum(bounds, m, out=bounds)
-    return bounds
-
-
 #: hard bytes budget for one materialized candidate-kernel sideband —
 #: every Python worker process holds one unpickled copy, so the
 #: worker-fleet footprint is ~n_workers × this. 256 MiB keeps 32 local
@@ -326,6 +297,7 @@ def sig_lookup_arrays(
     with_bands: bool = False,
     parquet_dir: str | None = None,
     cfg: DedupConfig | None = None,
+    sorted_ids: bool = True,
 ) -> dict:
     """Driver-side collect of the slim signature frame into doc_id-sorted
     numpy lookup arrays — the broadcast sideband of the ``*_lookup``
@@ -363,15 +335,77 @@ def sig_lookup_arrays(
     def col(name, dtype):
         return tbl.column(name).to_numpy(zero_copy_only=False).astype(dtype)
 
+    # The build is on the pipeline's critical path (every executor idles
+    # while the driver assembles the sideband — profiled 4.2 s of the
+    # 24.5 s warm wall at 500k/local[32]), and its heavy pieces — the
+    # pre-matrix stack/gather, the 8M-entry band-key argsort, the
+    # simhash chunk-key argsort — are independent numpy calls that
+    # release the GIL. Run them in a small thread pool; dependencies
+    # (everything needs `order`, sim orders need the sim gather) are
+    # expressed by submission order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # ``sorted_ids=False`` keeps every array in FILE order: only the
+    # ``*_lookup`` kernels binary-search ids (they need the sort); the
+    # fused broadcast kernel indexes rows positionally, and skipping
+    # the argsort + five 64 MB-class gathers halves the critical-path
+    # build time.
     ids = col("doc_id", np.int64)
-    order = np.argsort(ids)
-    pre = np.column_stack([col(c, np.int64) for c in pres])[order]
-    pre_bytes = np.ascontiguousarray(pre).view(np.uint8)
-    out = {
-        "ids": ids[order],
-        "nsh": col("n_shingles", np.int64)[order],
-        "sim": col("simhash", np.int64)[order],
-    }
+    if sorted_ids:
+        order = np.argsort(ids)
+        gather = lambda a: a[order]  # noqa: E731
+    else:
+        gather = lambda a: a  # noqa: E731
+    out = {"ids": gather(ids)}
+
+    def build_pre():
+        pre = gather(np.column_stack([col(c, np.int64) for c in pres]))
+        return np.ascontiguousarray(pre).view(np.uint8)
+
+    def build_bands():
+        bh_col = tbl.column("band_hashes")
+        if hasattr(bh_col, "num_chunks"):  # ChunkedArray → one Array
+            bh_col = bh_col.combine_chunks()
+        ch = bh_col.chunk(0) if hasattr(bh_col, "num_chunks") else bh_col
+        offs = ch.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        bands = np.ascontiguousarray(gather(vals[offs[0] :].reshape(len(ids), b)))
+        if cfg is None:
+            return bands, None
+        # Presorted sideband for fused_candidates_bcast: entries of
+        # each key space globally argsorted ONCE here — a kernel task
+        # gathers only its contiguous 1/P of the entry space (snapping
+        # its own range ends to bucket boundaries in-kernel) and its
+        # keys arrive already sorted. The earlier per-task design (mix
+        # + full-space selection scan per task) made task-time grow
+        # with the task COUNT — total candidate task-seconds inflated
+        # 4.5× going 8→32 cores on identical work.
+        order_lsh = np.argsort(bands.reshape(-1))
+        return bands, order_lsh.astype(np.uint32)
+
+    def build_sim_orders(sim):
+        n_chunks = cfg.hamming_thresh + 1
+        width = cfg.simhash_bits // n_chunks
+        ck_flat = simhash_chunk_keys(sim, n_chunks, width).reshape(-1)
+        return np.argsort(ck_flat).astype(np.uint32)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_pre = pool.submit(build_pre)
+        fut_bands = pool.submit(build_bands) if with_bands else None
+        out["nsh"] = gather(col("n_shingles", np.int64))
+        out["sim"] = gather(col("simhash", np.int64))
+        fut_sim = (
+            pool.submit(build_sim_orders, out["sim"])
+            if with_bands and cfg is not None
+            else None
+        )
+        pre_bytes = fut_pre.result()
+        if fut_bands is not None:
+            out["bands"], order_lsh_u32 = fut_bands.result()
+        if fut_sim is not None:
+            out["order_sim"] = fut_sim.result()
+
     if pre_bytes.shape[1] > 32:
         # full byte-packed MinHash width — lets the bcast kernel run the
         # stage-2 refine (verify.refine_est_pairs twin) in-kernel; the
@@ -384,39 +418,8 @@ def sig_lookup_arrays(
     if with_bands:
         from dedup.hashing import _vfmix
 
-        bh_col = tbl.column("band_hashes")
-        if hasattr(bh_col, "num_chunks"):  # ChunkedArray → one Array
-            bh_col = bh_col.combine_chunks()
-        ch = bh_col.chunk(0) if hasattr(bh_col, "num_chunks") else bh_col
-        offs = ch.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
-        b = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-        out["bands"] = np.ascontiguousarray(
-            vals[offs[0] :].reshape(len(ids), b)[order]
-        )
         if cfg is not None:
-            # Presorted sideband for fused_candidates_bcast: entries of
-            # each key space globally argsorted ONCE here, plus
-            # bucket-aligned slice boundaries — a kernel task gathers
-            # only its contiguous 1/P of the entry space and its keys
-            # arrive already sorted. The earlier per-task design (mix +
-            # full-space selection scan per task) made task-time grow
-            # with the task COUNT — total candidate task-seconds
-            # inflated 4.5× going 8→32 cores on identical work.
-            bands_flat = out["bands"].reshape(-1)
-            order_lsh = np.argsort(bands_flat)
-            out["order_lsh"] = order_lsh.astype(np.uint32)
-            out["bounds_lsh"] = _aligned_bounds(
-                bands_flat[order_lsh], _BCAST_SLICES
-            )
-            n_chunks = cfg.hamming_thresh + 1
-            width = cfg.simhash_bits // n_chunks
-            ck_flat = simhash_chunk_keys(out["sim"], n_chunks, width).reshape(-1)
-            order_sim = np.argsort(ck_flat)
-            out["order_sim"] = order_sim.astype(np.uint32)
-            out["bounds_sim"] = _aligned_bounds(
-                ck_flat[order_sim], _BCAST_SLICES
-            )
+            out["order_lsh"] = order_lsh_u32
         else:
             # legacy sideband: top-32 avalanche bits per LSH entry for
             # the kernel's multiply-shift partitioner (per-task scan)
@@ -467,7 +470,7 @@ def lsh_candidates_lookup(
     gate. ``cap`` > 0 folds the hot-bucket cap in-kernel (the whole
     bucket is task-local), replacing cap_buckets' extra aggregation +
     anti-join pass over the explode."""
-    from dedup.verify import est_floor_np
+    from dedup.verify import est_floor_per_doc
 
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
     ratio = cfg.jaccard_thresh
@@ -520,6 +523,7 @@ def lsh_candidates_lookup(
         lk = lookup_bc.value
         pos = np.searchsorted(lk["ids"], doc)
         nsh = lk["nsh"][pos]
+        fl = est_floor_per_doc(cfg, p, nsh)
         pre = _pre32(lk)[pos]
         srcs, dsts, ests = [], [], []
         for ia, ib in _pair_blocks(bh):
@@ -527,10 +531,10 @@ def lsh_candidates_lookup(
             hi = np.maximum(nsh[ia], nsh[ib])
             keep = lo >= hi * ratio  # D4 length-ratio prune (exact-safe)
             if keep.any():
-                ia, ib, lo = ia[keep], ib[keep], lo[keep]
+                ia, ib = ia[keep], ib[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= est_floor_np(cfg, p, lo)
+                keep2 = est >= np.minimum(fl[ia], fl[ib])
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))
@@ -562,7 +566,7 @@ def simhash_candidates_lookup(
     the scan — the two pre-col joins over the simhash pair flood
     disappear. Shuffle-path twin remains the at-scale default above the
     broadcast gate."""
-    from dedup.verify import est_floor_np
+    from dedup.verify import est_floor_per_doc
 
     n_chunks = cfg.hamming_thresh + 1
     width = cfg.simhash_bits // n_chunks
@@ -617,6 +621,7 @@ def simhash_candidates_lookup(
         lk = lookup_bc.value
         pos = np.searchsorted(lk["ids"], doc)
         nsh = lk["nsh"][pos]
+        fl = est_floor_per_doc(cfg, p, nsh)
         sim = lk["sim"][pos].view(np.uint64)
         pre = _pre32(lk)[pos]
         srcs, dsts, ests = [], [], []
@@ -626,10 +631,10 @@ def simhash_candidates_lookup(
             hi = np.maximum(nsh[ia], nsh[ib])
             keep = (popcount64(x) <= h) & (lo >= hi * ratio)
             if keep.any():
-                ia, ib, lo = ia[keep], ib[keep], lo[keep]
+                ia, ib = ia[keep], ib[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= est_floor_np(cfg, p, lo)
+                keep2 = est >= np.minimum(fl[ia], fl[ib])
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))
@@ -669,7 +674,7 @@ def fused_candidates_lookup(
     (JVM exchange overhead is the pipeline's worst 8→32-core inflater).
     ``cap`` drops oversized LSH buckets only (simhash chunk buckets are
     bounded by the hamming filter), matching cap_buckets semantics."""
-    from dedup.verify import est_floor_np
+    from dedup.verify import est_floor_per_doc
 
     n_chunks = cfg.hamming_thresh + 1
     width = cfg.simhash_bits // n_chunks
@@ -755,6 +760,7 @@ def fused_candidates_lookup(
         lk = lookup_bc.value
         pos = np.searchsorted(lk["ids"], doc)
         nsh = lk["nsh"][pos]
+        fl = est_floor_per_doc(cfg, p, nsh)
         sim = lk["sim"][pos].view(np.uint64)
         pre = _pre32(lk)[pos]
         srcs, dsts, ests = [], [], []
@@ -766,10 +772,10 @@ def fused_candidates_lookup(
             if is_sh.any():
                 keep &= ~is_sh | (popcount64(sim[ia] ^ sim[ib]) <= h)
             if keep.any():
-                ia, ib, lo = ia[keep], ib[keep], lo[keep]
+                ia, ib = ia[keep], ib[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= est_floor_np(cfg, p, lo)
+                keep2 = est >= np.minimum(fl[ia], fl[ib])
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))
@@ -821,7 +827,7 @@ def fused_candidates_bcast(
     At-scale story unchanged: above BROADCAST_SIGS_MAX the shuffle-path
     twins are the design path; this kernel is the small/medium-corpus
     fast path behind the same gate."""
-    from dedup.verify import est_floor_np
+    from dedup.verify import est_floor_per_doc
 
     n_chunks = cfg.hamming_thresh + 1
     width = cfg.simhash_bits // n_chunks
@@ -837,7 +843,13 @@ def fused_candidates_bcast(
     # rows, so refine-then-distinct == distinct-then-refine.
     p_full = min(cfg.num_perm, 8 * ((cfg.num_perm + 7) // 8))
     if n_parts is None:
-        n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
+        # 4 tasks per core: per-slice pair work is quadratic in bucket
+        # sizes, so equal slice WIDTH is not equal WORK — at exactly one
+        # task per core the straggler slice capped stage parallelism at
+        # ~8 effective cores of 32 (profiled 500k: 5.8 s wall / 48
+        # task-s). Finer slices let the scheduler rebalance; per-task
+        # fixed cost is just a broadcast handle + two searchsorted.
+        n_parts = 4 * max(int(spark.sparkContext.defaultParallelism), 1)
 
     def run(batches):
         import numpy as np
@@ -870,6 +882,10 @@ def fused_candidates_bcast(
             raise ValueError("full_est needs the pre_full lookup sideband")
         n_bytes_full = pf_all.shape[1] if pf_all is not None else 0
         n_docs, b = bands.shape
+        fl_all = est_floor_per_doc(cfg, p, nsh_all)
+        flf_all = (
+            est_floor_per_doc(cfg, p_full, nsh_all) if pf_all is not None else None
+        )
         key_lsh = bands.reshape(-1)  # view, no copy
 
         def scan(k_s, o_s, t_s, srcs, dsts, ests):
@@ -898,6 +914,8 @@ def fused_candidates_bcast(
                     if len(k_s) == 0:
                         return
             nsh = nsh_all[o_s]
+            fl = fl_all[o_s]
+            flf = flf_all[o_s] if flf_all is not None else None
             sim = sim_all[o_s]
             pre = pre_all[o_s]
             doc = doc_all[o_s]
@@ -909,13 +927,13 @@ def fused_candidates_bcast(
                 if is_sh.any():
                     keep &= ~is_sh | (popcount64(sim[ia] ^ sim[ib]) <= h)
                 if keep.any():
-                    ia, ib, lo = ia[keep], ib[keep], lo[keep]
+                    ia, ib = ia[keep], ib[keep]
                     eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                     est = (eq - (32 - p)) / float(p)
-                    keep2 = est >= est_floor_np(cfg, p, lo)
+                    keep2 = est >= np.minimum(fl[ia], fl[ib])
                     if not keep2.any():
                         continue
-                    ia, ib, est, lo = ia[keep2], ib[keep2], est[keep2], lo[keep2]
+                    ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     if pf_all is not None:
                         # in-kernel stage-2 refine: full-width byte
                         # estimate over the stage-1 survivors only
@@ -926,7 +944,7 @@ def fused_candidates_bcast(
                             axis=1, dtype=np.int64
                         )
                         estf = (eqf - (n_bytes_full - p_full)) / float(p_full)
-                        keep3 = estf >= est_floor_np(cfg, p_full, lo)
+                        keep3 = estf >= np.minimum(flf[ia], flf[ib])
                         if not keep3.any():
                             continue
                         ia, ib, est = ia[keep3], ib[keep3], estf[keep3]
@@ -948,20 +966,56 @@ def fused_candidates_bcast(
 
         P = int(n_parts)
         if "order_lsh" in lk:
-            # presorted sideband: entries argsorted by key driver-side,
-            # bucket-aligned slice bounds — a task gathers ONLY its
-            # contiguous 1/P of each key space (keys arrive sorted; no
-            # per-task full-space scan, whose cost grew with the task
-            # count and inflated candidate task-seconds 4.5× at 8→32)
-            order_l, bounds_l = lk["order_lsh"], lk["bounds_lsh"]
-            order_s, bounds_s = lk["order_sim"], lk["bounds_sim"]
-            S = len(bounds_l) - 1
+            # presorted sideband: entries argsorted by key driver-side —
+            # a task gathers ONLY its contiguous 1/P of each key space
+            # (keys arrive sorted; no per-task full-space scan, whose
+            # cost grew with the task count and inflated candidate
+            # task-seconds 4.5× at 8→32). Range ends snap to bucket
+            # boundaries IN-KERNEL (scan forward past the run of equal
+            # keys): adjacent tasks compute identical boundaries, so no
+            # bucket splits and no pair is emitted twice — and the
+            # driver no longer materializes the sorted 8M-key copy just
+            # to precompute bounds (was ~1.4 s of serial build time).
+            order_l = lk["order_lsh"]
+            order_s = lk.get("order_sim")
             mask = np.uint64((1 << width) - 1)
+
+            def key_lsh_at(entries):
+                return key_lsh[entries.astype(np.int64)]
+
+            def key_sim_at(entries):
+                e = entries.astype(np.int64)
+                own = e // n_chunks
+                ci = (e % n_chunks).astype(np.uint64)
+                return (ci.astype(np.int64) << width) | (
+                    (sim_all[own] >> (ci * np.uint64(width))) & mask
+                ).astype(np.int64)
+
+            def snap(raw, order_arr, keyfn, m):
+                """Smallest bucket boundary >= raw (a run of equal keys
+                never splits; adjacent tasks agree by construction)."""
+                if raw <= 0 or raw >= m:
+                    return min(max(raw, 0), m)
+                k0 = keyfn(order_arr[raw - 1 : raw])[0]
+                if keyfn(order_arr[raw : raw + 1])[0] != k0:
+                    return raw
+                i = raw
+                while i < m:
+                    j = min(m, i + 4096)
+                    ks = keyfn(order_arr[i:j])
+                    nz = np.flatnonzero(ks != k0)
+                    if len(nz):
+                        return i + int(nz[0])
+                    i = j
+                return m
+
+            m_l = len(order_l)
+            m_s = len(order_s) if order_s is not None else 0
             for pid in my_parts:
-                s0 = (S * int(pid)) // P
-                s1 = (S * (int(pid) + 1)) // P
                 srcs, dsts, ests = [], [], []
-                idx = order_l[bounds_l[s0] : bounds_l[s1]].astype(np.int64)
+                s0 = snap((m_l * int(pid)) // P, order_l, key_lsh_at, m_l)
+                s1 = snap((m_l * (int(pid) + 1)) // P, order_l, key_lsh_at, m_l)
+                idx = order_l[s0:s1].astype(np.int64)
                 scan(
                     key_lsh[idx],
                     idx // b,
@@ -971,7 +1025,9 @@ def fused_candidates_bcast(
                     ests,
                 )
                 if use_simhash:
-                    idx = order_s[bounds_s[s0] : bounds_s[s1]].astype(np.int64)
+                    u0 = snap((m_s * int(pid)) // P, order_s, key_sim_at, m_s)
+                    u1 = snap((m_s * (int(pid) + 1)) // P, order_s, key_sim_at, m_s)
+                    idx = order_s[u0:u1].astype(np.int64)
                     own = idx // n_chunks
                     ci = (idx % n_chunks).astype(np.uint64)
                     k_sim = (ci.astype(np.int64) << width) | (
@@ -1056,7 +1112,7 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
     are canonical (src < dst), length-ratio pruned (D4), est ≥ the
     adaptive floor, NOT pair-distinct (duplicates across bands carry
     identical estimates; the pipeline dedupes survivors)."""
-    from dedup.verify import est_floor_np
+    from dedup.verify import est_floor_per_doc
 
     p = min(cfg.est_prefilter_perms or cfg.num_perm, cfg.num_perm, 32)
     ratio = cfg.jaccard_thresh
@@ -1112,6 +1168,7 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
         # bucket, so any sort kind yields the identical pair set
         order_k = np.argsort(bh)
         bh, doc, nsh, pre = bh[order_k], doc[order_k], nsh[order_k], pre[order_k]
+        fl = est_floor_per_doc(cfg, p, nsh)
 
         # bucket segmentation over the grouped keys
         starts = np.flatnonzero(np.diff(bh, prepend=bh[0] - 1))
@@ -1137,10 +1194,10 @@ def lsh_candidates_arrow(bands_pre: DataFrame, cfg: DedupConfig) -> DataFrame:
             hi = np.maximum(nsh[ia], nsh[ib])
             keep = lo >= hi * ratio  # D4 length-ratio prune (exact-safe)
             if keep.any():
-                ia, ib, lo = ia[keep], ib[keep], lo[keep]
+                ia, ib = ia[keep], ib[keep]
                 eq = (pre[ia] == pre[ib]).sum(axis=1, dtype=np.int64)
                 est = (eq - (32 - p)) / float(p)
-                keep2 = est >= est_floor_np(cfg, p, lo)
+                keep2 = est >= np.minimum(fl[ia], fl[ib])
                 if keep2.any():
                     ia, ib, est = ia[keep2], ib[keep2], est[keep2]
                     srcs.append(np.minimum(doc[ia], doc[ib]))

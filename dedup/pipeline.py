@@ -215,6 +215,10 @@ def build_edges(
             with_bands=True,
             parquet_dir=getattr(sigs, "_dedup_spill_dir", None),
             cfg=cfg,  # enables the presorted-slice kernel layout
+            # the fused kernel indexes rows positionally (never binary-
+            # searches ids) — file order skips the id argsort + five
+            # row-gathers on the executor-idle critical path
+            sorted_ids=False,
         )
         # full-width packed bytes available → the kernel also runs the
         # stage-2 refine (verify.refine_est_pairs twin) in place, so

@@ -98,6 +98,19 @@ def est_floor_np(cfg: DedupConfig, perms: int, nsh_min) -> "np.ndarray | float":
     return np.maximum(0.0, t - 4.5 * np.sqrt(t * (1.0 - t) / n_eff))
 
 
+def est_floor_per_doc(cfg: DedupConfig, perms: int, nsh) -> "np.ndarray":
+    """Per-DOC floors for the pair kernels. The floor is monotone
+    increasing in nsh, so the per-pair floor over min(nsh_a, nsh_b) is
+    min(floor_a, floor_b) — computing floors once per doc replaces a
+    pow/sqrt per surviving PAIR with one np.minimum gather."""
+    import numpy as np
+
+    f = est_floor_np(cfg, perms, nsh)
+    if np.ndim(f) == 0:
+        f = np.full(len(nsh), float(f))
+    return f
+
+
 def est_floor_expr(cfg: DedupConfig, perms: int, nsh_min) -> F.Column:
     """Column twin of ``est_floor_np`` (same formula, codegen scalar
     functions only). ``nsh_min`` is a Column of min(n_shingles)."""
