@@ -21,7 +21,13 @@ def scratch_dir() -> str:
     at 32 concurrent writers the measured shuffle-write time inflates
     ~20x (disk queue contention) — which is a property of the sandbox,
     not the job. /dev/shm restores per-core write bandwidth. Override
-    with $DEDUP_SCRATCH."""
+    with $DEDUP_SCRATCH.
+
+    MEMORY BUDGET: tmpfs scratch + uncompressed shuffle/spills trade RAM
+    for bandwidth — heap + shuffle + spills must fit the host (measured:
+    2M docs at local[32] with a 48g heap OOM-killed a 128 GB host).
+    Beyond ~1M local docs set $DEDUP_SCRATCH to a disk path (compression
+    auto-re-enables, see _is_tmpfs call sites)."""
     d = os.environ.get("DEDUP_SCRATCH")
     if d:
         return d
