@@ -1092,6 +1092,34 @@ def q_cluster_report(spark, sf_dir):
     )
 
 
+@register("near_dup_with_containment")  # rows-only (E5 at-scale wiring)
+def q_near_dup_with_containment(spark, sf_dir):
+    """The containment detector ON ITS AT-SCALE PATH: the full pipeline
+    with use_containment=True, where LSH candidate pairs that FAIL the
+    near-Jaccard verify are re-checked by the suffix-array longest-
+    common-substring kernel (verify.verify_containment) and emitted as
+    'substr' edges. Input is one deterministic gen_pages tile set —
+    slots 90-94 of each 100-tile are containment docs by construction
+    (base ± 20-200 tokens / truncation to ~60%, datagen._tokens_and_base)
+    so the path provably fires. HIGH_RECALL banding (32×4, s-curve
+    ≈0.42) buckets the ~0.5-Jaccard truncation pairs that DEFAULT
+    banding would miss. Precision of every emitted edge is re-verified
+    against the driver-side suffix kernel in
+    tests/test_pipeline.py::test_containment_end_to_end."""
+    from dedup.datagen import gen_pages
+    from dedup.pipeline import run_dedup
+
+    cfg = HIGH_RECALL_CONFIG.with_(substr_min_len=40)
+    pages = gen_pages(spark, 300, seed=42, partitions=8)
+    res = run_dedup(
+        pages, cfg, use_containment=True, edge_kinds=("exact", "near", "substr")
+    )
+    return (
+        res.edges.filter(F.col("kind") == "substr")
+        .select("src", "dst", F.round("sim", 4).alias("sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SURVEY §2 qkey-parity entries (names match the inventory table exactly)
 # ---------------------------------------------------------------------------
@@ -1344,14 +1372,32 @@ def q_stateful_sketch(spark, sf_dir):
     )
 
 
-#: Enumeration order of the driver contract. The round-1 driver
-#: recorded CORRECTNESS rows for exactly the FIRST 50 registered qkeys
-#: (cut mid-list, right before a sub-second GROUP BY), leaving 13 §2
-#: operators without driver evidence purely because extras/aliases were
-#: registered ahead of them. Emit all 54 SURVEY §2 qkeys first (A→J
-#: checklist order), then the LLM-pipeline extras, so any driver-side
-#: cap or time budget lands on redundant aliases, not on §2 coverage.
+#: Enumeration order of the driver contract. The driver records
+#: CORRECTNESS rows for exactly the FIRST 50 registered qkeys (confirmed
+#: twice: rounds 1 and 2 both cut at precisely 50, at different list
+#: positions). 66 registered keys > 50 ⇒ full coverage must be a UNION
+#: across rounds (round-2 verdict, next-round item 1): lead with the 16
+#: keys that have NO round-2 driver row — the five never recorded in any
+#: round (J2-J4 streaming, J5 sketch, cluster_report), the new
+#: containment-pipeline key, and the ten extras recorded only in round 1
+#: — then the 50 keys round 2 recorded green, in SURVEY §2 A→J order.
+#: The cap then lands on keys that already hold a green r2 record, so
+#: after round 3 every registered operator has at least one green driver
+#: record. Keep any NEW qkey ahead of the r2-green block.
 _PRIORITY = [
+    # -- never driver-recorded (r1+r2) ------------------------------------
+    # J. streaming tail (§2 J2-J5)
+    "watermark_dedup", "stream_windows", "foreach_batch_dedup",
+    "stateful_sketch",
+    # flagship reporting surface
+    "cluster_report",
+    # new this round: containment verification on LSH candidates
+    "near_dup_with_containment",
+    # -- recorded in round 1 only (green there) ---------------------------
+    "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
+    "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    "multimodal_meta", "near_dup_clusters",
+    # -- recorded green in round 2 (§2 A→J order) -------------------------
     # A. sources/sinks
     "scan_pages", "scan_jdbc", "sink_table", "snapshot_read", "gen_pages",
     # B. projection / functions
@@ -1375,9 +1421,8 @@ _PRIORITY = [
     "order_limit", "sort_within", "union_edges", "set_ops",
     # I. clustering
     "conn_comp", "cluster_assign",
-    # J. streaming
-    "stream_ingest", "watermark_dedup", "stream_windows",
-    "foreach_batch_dedup", "stateful_sketch",
+    # J. streaming head (recorded r2)
+    "stream_ingest",
 ]
 
 

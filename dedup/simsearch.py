@@ -187,8 +187,21 @@ def cosine_pairs_arrow(pairs: DataFrame, keep: tuple[str, str] = ("src", "dst"),
     return pairs.mapInArrow(gen, out_schema)
 
 
+#: sign buckets larger than this get the salted block join. Embedding
+#: corpora are exactly as correlated as text corpora (templated pages →
+#: clustered embeddings), so sign buckets are far from uniform — the
+#: same measured pathology as the simhash chunk join (CLAUDE.md: >120
+#: core-s at 500k docs). Above the threshold the per-task pair blowup
+#: |bucket|² is split into |bucket|²/n_salt blocks, pair-set-identical
+#: (skew.py rationale: AQE splits partitions, never a single join key).
+ANN_HOT_BUCKET_THRESH = 1024
+ANN_N_SALT = 8
+
+
 def lsh_pairs(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int = 42,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              hot_thresh: int = ANN_HOT_BUCKET_THRESH, n_salt: int = ANN_N_SALT,
+              bucket_cap: int = 0, n_tables: int = 1) -> DataFrame:
     """Approximate near-dup pairs: bucket join on the sign signature,
     exact cosine verification inside buckets. The self-join shuffles on
     the bucket key only — the 100 TB path (vs brute_force_pairs'
@@ -196,16 +209,82 @@ def lsh_pairs(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int = 42,
     buckets = higher recall, more verify work). Sign bits and the
     in-bucket cosine both run as Arrow matrix kernels; the cosine filter
     happens before the only post-join projection so vector payloads
-    never outlive their batch."""
-    bucketed = with_sign_bucket_arrow(
-        vecs.select(id_col, vec_col), n_planes=n_planes, seed=seed, vec_col=vec_col
-    )
-    a = bucketed.select("bucket", F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
-    b = bucketed.select("bucket", F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
-    joined = a.join(b, "bucket").filter(F.col("src") < F.col("dst"))
-    return cosine_pairs_arrow(joined.select("src", "dst", "va", "vb")).filter(
-        F.col("cos") >= thresh
-    )
+    never outlive their batch.
+
+    Skew guard (round-2 verdict item 2): buckets larger than
+    ``hot_thresh`` take a salted block join — the probe side keeps its
+    deterministic block ``pmod(xxhash64(src), n_salt)``, the build side
+    is replicated across all blocks, so every (src < dst) pair meets
+    EXACTLY once (at block == salt(src)) and the union with the cold
+    path needs no pair-distinct. Semantics are unchanged at any
+    (hot_thresh, n_salt): tests/test_simsearch.py asserts pair-set
+    equality against the unsalted join on a corpus with one embedding
+    duplicated 2000×. ``bucket_cap`` (0 = off) additionally DROPS
+    buckets beyond the cap — a recall-trading guard for adversarial
+    monster buckets, mirroring candidates.cap_buckets; dropped pairs
+    are true near-dups of each other (identical sign pattern), so leave
+    it off unless a corpus is known to contain degenerate embedding
+    floods better handled by exact-vector dedup upstream.
+
+    Recall lever: ``n_tables`` independent plane sets (seeds
+    seed + 1000·t), OR-combined — a pair missed by one table's bucket
+    split is caught by another (standard multi-table LSH; single-table
+    collision prob for angle θ is (1-θ/π)^n_planes, n tables lift it to
+    1-(1-p)^n). Scored slim (src, dst, cos) frames are unioned and
+    deduped AFTER the cosine filter, so the pair-distinct shuffle ships
+    24 B rows, never vector payloads; a pair colliding in k tables pays
+    the einsum k times — cheaper than a payload-wide distinct.
+
+    The bucketed frame is lazy, so the sign-bit GEMM recomputes per
+    branch (stats + 2 or 4 join sides) — one matrix multiply per Arrow
+    batch, measured cheaper than caching the array column (CLAUDE.md:
+    columnar array caching is pathological). Callers at real scale can
+    pre-materialize ``with_sign_bucket_arrow`` output to parquet."""
+
+    def one_table(table_seed: int) -> DataFrame:
+        bucketed = with_sign_bucket_arrow(
+            vecs.select(id_col, vec_col), n_planes=n_planes, seed=table_seed,
+            vec_col=vec_col,
+        )
+        stats = bucketed.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+        if bucket_cap > 0:
+            dropped = stats.filter(F.col("bucket_size") > bucket_cap).select("bucket")
+            bucketed = bucketed.join(F.broadcast(dropped), "bucket", "left_anti")
+            stats = stats.filter(F.col("bucket_size") <= bucket_cap)
+        hot_keys = stats.filter(F.col("bucket_size") > hot_thresh).select("bucket")
+
+        a = bucketed.select(
+            "bucket", F.col(id_col).alias("src"), F.col(vec_col).alias("va")
+        )
+        b = bucketed.select(
+            "bucket", F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")
+        )
+        if hot_thresh <= 0:
+            joined = a.join(b, "bucket").filter(F.col("src") < F.col("dst"))
+        else:
+            cold_a = a.join(F.broadcast(hot_keys), "bucket", "left_anti")
+            cold_b = b.join(F.broadcast(hot_keys), "bucket", "left_anti")
+            cold = cold_a.join(cold_b, "bucket").filter(F.col("src") < F.col("dst"))
+            hot_a = a.join(F.broadcast(hot_keys), "bucket", "left_semi").withColumn(
+                "block", F.pmod(F.xxhash64("src"), F.lit(n_salt))
+            )
+            hot_b = b.join(F.broadcast(hot_keys), "bucket", "left_semi").withColumn(
+                "block", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+            )
+            hot = hot_a.join(hot_b, ["bucket", "block"]).filter(
+                F.col("src") < F.col("dst")
+            )
+            joined = cold.select("src", "dst", "va", "vb").unionByName(
+                hot.select("src", "dst", "va", "vb")
+            )
+        return cosine_pairs_arrow(joined.select("src", "dst", "va", "vb")).filter(
+            F.col("cos") >= thresh
+        )
+
+    out = one_table(seed)
+    for t in range(1, n_tables):
+        out = out.unionByName(one_table(seed + 1000 * t))
+    return out.dropDuplicates(["src", "dst"]) if n_tables > 1 else out
 
 
 def lsh_pairs_expr(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int = 42,

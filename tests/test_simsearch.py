@@ -75,3 +75,90 @@ def test_lsh_plan_has_no_interpreted_lambda_or_driver_probe(spark, vecs):
     plan = lsh_pairs(vecs, thresh=0.45, n_planes=6)._jdf.queryExecution().toString()
     assert "zip_with" not in plan
     assert "aggregate(" not in plan
+
+
+@pytest.fixture(scope="module")
+def skew_vecs(spark, vecs):
+    """Adversarial embedding corpus: the full table plus ONE embedding
+    replicated 600× under fresh ids — every replica lands in the same
+    sign bucket of every table, modelling the correlated-corpus hot
+    bucket (CLAUDE.md: simhash chunk buckets measured far from uniform
+    on templated corpora)."""
+    one = vecs.orderBy("vec_id").limit(1).select("embedding")
+    flood = (
+        spark.range(600)
+        .crossJoin(F.broadcast(one))
+        .select((F.col("id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    return vecs.unionByName(flood)
+
+
+def test_lsh_pairs_salted_set_equal_to_unsalted(spark, skew_vecs):
+    """Round-2 verdict item 2: the hot-bucket salted block join must be
+    pair-set-IDENTICAL to the plain bucket join — salting redistributes
+    work, never changes the answer — and must emit each pair exactly
+    once (no pair-distinct in the plan to hide double-emission)."""
+    salted = lsh_pairs(
+        skew_vecs, thresh=0.45, n_planes=6, hot_thresh=64, n_salt=4
+    ).collect()
+    plain = lsh_pairs(skew_vecs, thresh=0.45, n_planes=6, hot_thresh=0).collect()
+    skey = sorted((r.src, r.dst, r.cos) for r in salted)
+    pkey = sorted((r.src, r.dst, r.cos) for r in plain)
+    assert skey == pkey
+    assert len(skey) == len({(s, d) for s, d, _ in skey}), "duplicate pair emitted"
+    # the flood really is hot: its replicas pair with each other
+    flood_pairs = [1 for s, d, _ in skey if s >= 10_000_000 and d >= 10_000_000]
+    assert len(flood_pairs) > 600 * 64  # quadratic in the flood, >> hot_thresh
+
+
+def test_lsh_pairs_bucket_cap_drops_monster_bucket(spark, skew_vecs):
+    """bucket_cap is the recall-trading guard: with the cap below the
+    flood size, no flood×flood pair survives; organic (sub-cap) buckets
+    are untouched."""
+    capped = {
+        (r.src, r.dst)
+        for r in lsh_pairs(
+            skew_vecs, thresh=0.45, n_planes=6, hot_thresh=64, bucket_cap=300
+        ).collect()
+    }
+    assert not any(s >= 10_000_000 and d >= 10_000_000 for s, d in capped)
+
+
+def test_lsh_pairs_multi_table_recall(spark, vecs):
+    """Retrieval quality, not just twin parity (round-2 verdict item 7):
+    recall vs brute force in the regime the operator exists for —
+    PLANTED near-duplicate vectors at cos ∈ [0.9, 0.99] (64 perturbed
+    copies, deterministic seed), threshold 0.9. Expected per-table
+    collision prob at the worst planted angle (θ ≈ 26°) is
+    (1-θ/π)^6 ≈ 0.40, so 8 OR-combined tables give ≈ 0.98 expected
+    recall — asserted ≥ 0.9 with margin. Multi-table must dominate
+    single-table and stay a subset of brute force (exact cosine verify
+    inside buckets — no false positives by construction)."""
+    import numpy as np
+
+    base = vecs.orderBy("vec_id").limit(64).collect()
+    rng = np.random.default_rng(7)
+    rows = []
+    for i, r in enumerate(base):
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v /= np.linalg.norm(v)
+        target = float(rng.uniform(0.9, 0.99))
+        g = rng.standard_normal(v.size)
+        g -= g.dot(v) * v  # orthogonal component
+        g /= np.linalg.norm(g)
+        w = target * v + np.sqrt(1 - target**2) * g  # exact cosine = target
+        rows.append((int(20_000_000 + i), [float(x) for x in w]))
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = vecs.selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    ).unionByName(planted)
+
+    bf = {(r.src, r.dst) for r in brute_force_pairs(corpus, thresh=0.9).collect()}
+    assert len(bf) >= 60, f"planting failed: only {len(bf)} ground-truth pairs"
+    one = {(r.src, r.dst) for r in lsh_pairs(corpus, thresh=0.9, n_planes=6).collect()}
+    multi = {
+        (r.src, r.dst)
+        for r in lsh_pairs(corpus, thresh=0.9, n_planes=6, n_tables=8).collect()
+    }
+    assert one <= multi <= bf
+    assert len(multi) / len(bf) >= 0.9, f"recall {len(multi)}/{len(bf)}"
