@@ -58,9 +58,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, callable]:
     }
 
 
+def _memcpy_probe_ms() -> float:
+    """Host-window probe (CLAUDE.md protocol): copy a TOUCHED 64 MB
+    buffer; < 20 ms means the shared VM is in a usable window. The value
+    is reported in the JSON line so a slow headline number carries its
+    own host-state evidence."""
+    import numpy as np
+
+    a = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)  # touched on init
+    best = float("inf")
+    for _ in range(3):  # first copy can eat residual-load transients
+        t0 = time.perf_counter()
+        a.copy()
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    memcpy_ms = _memcpy_probe_ms()
 
     from dedup.session import get_spark
 
@@ -88,10 +105,18 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     # warm pipeline pass: same job, caches dropped, JVM/codegen hot —
-    # the number comparable across parallelism levels (BENCH/BASELINE.md)
-    t0 = time.perf_counter()
-    queries["near_dup_pipeline"]()
-    times["near_dup_pipeline_warm"] = round(time.perf_counter() - t0, 3)
+    # the number comparable across parallelism levels (BENCH/BASELINE.md).
+    # BEST-OF-3: this shared VM shows ±2x run-to-run windows (identical
+    # stages measured 8 s and 17 s back-to-back — CLAUDE.md), so a
+    # single draw confounds host noise with regressions; the minimum is
+    # the host-noise-free estimate of the code's cost. All three draws
+    # are reported for the record.
+    warm_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        queries["near_dup_pipeline"]()
+        warm_runs.append(round(time.perf_counter() - t0, 3))
+    times["near_dup_pipeline_warm"] = min(warm_runs)
 
     total = round(sum(times.values()), 3)
     pipeline_docs_per_sec = round(n_docs / times["near_dup_pipeline_warm"], 1)
@@ -107,6 +132,9 @@ def main() -> None:
                 "n_docs": n_docs,
                 "pipeline_docs_per_sec": pipeline_docs_per_sec,
                 "cpus": cpus,
+                "warm_runs": warm_runs,
+                "host_memcpy_ms": memcpy_ms,
+                "host_load1": round(os.getloadavg()[0], 1),
             }
         )
     )
