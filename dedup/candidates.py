@@ -82,6 +82,31 @@ def lsh_candidates(
     return pairs.dropDuplicates(["src", "dst"]) if dedupe else pairs
 
 
+def simhash_chunks(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """signatures → (doc_id, simhash, n_shingles, idx, val) pigeonhole
+    chunk rows: the 64-bit simhash split into hamming_thresh+1 chunks —
+    any pair within Hamming distance h agrees on at least one chunk.
+    This is both the explode feeding ``simhash_candidates`` and the
+    committed probe-side table layout for incremental simhash blocking
+    (streaming J4: per-batch chunks append here; new chunks probe the
+    committed table)."""
+    n_chunks = cfg.hamming_thresh + 1
+    width = cfg.simhash_bits // n_chunks
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks - 1}),"
+        f" i -> struct(i as idx, shiftright(simhash, i*{width}) & {(1 << width) - 1} as val))"
+    )
+    return signatures.select(
+        "doc_id", "simhash", "n_shingles", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        "simhash",
+        "n_shingles",
+        F.col("c.idx").alias("idx"),
+        F.col("c.val").alias("val"),
+    )
+
+
 def simhash_candidates(
     signatures: DataFrame, cfg: DedupConfig, dedupe: bool = True
 ) -> DataFrame:
@@ -100,21 +125,7 @@ def simhash_candidates(
     pair space at vectorized speed; this SQL form remains the
     oracle-twin surface (qkey ``hamming_simhash``) and the semantics
     reference for the parity test."""
-    n_chunks = cfg.hamming_thresh + 1
-    width = cfg.simhash_bits // n_chunks
-    chunks = F.expr(
-        f"transform(sequence(0, {n_chunks - 1}),"
-        f" i -> struct(i as idx, shiftright(simhash, i*{width}) & {(1 << width) - 1} as val))"
-    )
-    ex = signatures.select(
-        "doc_id", "simhash", "n_shingles", F.explode(chunks).alias("c")
-    ).select(
-        "doc_id",
-        "simhash",
-        "n_shingles",
-        F.col("c.idx").alias("idx"),
-        F.col("c.val").alias("val"),
-    )
+    ex = simhash_chunks(signatures, cfg)
     a = ex.select(
         "idx", "val", F.col("doc_id").alias("src"),
         F.col("simhash").alias("sim_a"), F.col("n_shingles").alias("src_n"),
@@ -134,6 +145,79 @@ def simhash_candidates(
         .select("src", "dst")
     )
     return out.dropDuplicates(["src", "dst"]) if dedupe else out
+
+
+def lsh_candidates_probe(
+    new_bands: DataFrame, all_bands: DataFrame, cfg: DedupConfig,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Candidate pairs that TOUCH the probe side only: ``new_bands`` ×
+    ``all_bands`` equi-join on the bucket key — the incremental (J4)
+    counterpart of the self-join generators. An old×old pair is never
+    formed (it was emitted when its younger doc was new), so per-batch
+    pair volume scales with the batch, not the corpus. A new×new pair
+    arrives in both orientations; the canonical (least, greatest)
+    projection makes them equal rows and the caller's pair-distinct
+    collapses them.
+
+    ``broadcast_probe`` hint-broadcasts the batch-sized probe side so
+    the committed bands table never crosses an exchange — the per-batch
+    SHUFFLE volume is ∝ batch while the committed side is a columnar
+    map-side scan (at real scale: a bands table bucketed by band_hash
+    turns that scan into a pruned co-located probe; AQE alone can't —
+    it materializes every shuffle-join map side before demoting,
+    CLAUDE.md)."""
+    keys = _bucket_keys(all_bands)
+    a = new_bands.select(
+        *keys, F.col("doc_id").alias("src"), F.col("n_shingles").alias("src_n")
+    )
+    if broadcast_probe:
+        a = F.broadcast(a)
+    b = all_bands.select(
+        *keys, F.col("doc_id").alias("dst"), F.col("n_shingles").alias("dst_n")
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("src") != F.col("dst"))
+        .filter(length_ratio_conjunct(cfg.jaccard_thresh))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+    )
+
+
+def simhash_candidates_probe(
+    new_chunks: DataFrame, all_chunks: DataFrame, cfg: DedupConfig,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Incremental twin of ``simhash_candidates``: new chunk rows probe
+    the committed chunk table (``simhash_chunks`` layout) — same
+    pairs-touching-new semantics, broadcast hint, and canonicalization
+    rationale as ``lsh_candidates_probe``."""
+    a = new_chunks.select(
+        "idx", "val", F.col("doc_id").alias("src"),
+        F.col("simhash").alias("sim_a"), F.col("n_shingles").alias("src_n"),
+    )
+    if broadcast_probe:
+        a = F.broadcast(a)
+    b = all_chunks.select(
+        "idx", "val", F.col("doc_id").alias("dst"),
+        F.col("simhash").alias("sim_b"), F.col("n_shingles").alias("dst_n"),
+    )
+    return (
+        a.join(b, ["idx", "val"])
+        .filter(F.col("src") != F.col("dst"))
+        .filter(length_ratio_conjunct(cfg.jaccard_thresh))
+        .filter(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            <= cfg.hamming_thresh
+        )
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+    )
 
 
 def simhash_candidates_arrow(

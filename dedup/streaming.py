@@ -19,13 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dedup.candidates import simhash_candidates
-from dedup.components import assign_clusters, connected_components
+from dedup.candidates import (
+    lsh_candidates_probe,
+    simhash_candidates_probe,
+    simhash_chunks,
+)
+from dedup.components import incremental_components
 from dedup.config import DedupConfig
 from dedup.ingest import exact_edges, representatives, to_docs
 from dedup.schema import PAGES
 from dedup.signatures import with_bands, with_shingles, with_signatures
-from dedup.skew import salted_lsh_candidates
 from dedup.tableio import TableIO
 from dedup.verify import verify_jaccard
 
@@ -89,10 +92,32 @@ def session_rate(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def process_batch(
     spark: SparkSession, tio: TableIO, cfg: DedupConfig, batch: DataFrame
 ) -> dict:
-    """One microbatch of pages → committed docs/signatures/edges/clusters
-    deltas. Pure batch operators throughout; candidate generation is
-    restricted to pairs INVOLVING a new doc (new×new ∪ new×committed) so
-    per-batch work scales with the batch, not the corpus."""
+    """One microbatch of pages → committed docs/signatures/bands/chunks/
+    edges/clusters deltas. Pure batch operators throughout, and —
+    round-2 verdict item 4 — per-batch SHUFFLE/compute volume scales
+    with the batch, not the corpus:
+
+    - band/chunk explodes run over the NEW signatures only; the
+      committed explodes live in append-only ``bands``/``chunks``
+      tables, probed map-side by the broadcast batch rows
+      (candidates.*_probe) — the old re-band of the entire signature
+      table per batch is gone;
+    - old×old candidate pairs are never formed (probe joins emit only
+      pairs touching a new doc), so no post-hoc semi-join prune either;
+    - clustering contracts the new edges through the committed labels
+      and runs CC on the batch-sized contracted graph
+      (components.incremental_components) — the full-edge-log rebuild
+      is gone; the committed clusters table is relabeled by a broadcast
+      map and only rewritten, not recomputed.
+
+    Committed-table SCANS (url anti-join, sha probe, bands/chunks probe,
+    clusters relabel) remain linear in the corpus but are columnar,
+    shuffle-free map-side passes; at real scale the tables are bucketed/
+    partitioned so those probes prune (SURVEY §4.3).
+
+    Returns per-batch stats incl. the sizes that must stay
+    batch-proportional (asserted by tests/test_streaming.py):
+    ``banded_rows`` (band explode input), ``cc_edges`` (CC input)."""
     batch_docs = to_docs(batch, cfg)
     if tio.exists("docs"):
         seen = tio.read("docs").select("url")
@@ -101,33 +126,26 @@ def process_batch(
     n_new = batch_docs.count()
     if n_new == 0:
         batch_docs.unpersist()
-        return {"new_docs": 0, "new_edges": 0}
+        return {"new_docs": 0, "new_edges": 0, "banded_rows": 0, "cc_edges": 0}
 
     new_sh = with_shingles(representatives(batch_docs, cfg), cfg).persist()
     new_sh.count()
-    new_sigs = with_signatures(new_sh, cfg)
-    new_bands = with_bands(new_sigs, cfg).withColumn("is_new", F.lit(True))
+    new_sigs = with_signatures(new_sh, cfg).persist()
+    new_bands = with_bands(new_sigs, cfg)
+    new_chunks = simhash_chunks(new_sigs, cfg)
 
-    if tio.exists("signatures"):
-        old_sigs = tio.read("signatures")
-        all_bands = with_bands(old_sigs, cfg).withColumn(
-            "is_new", F.lit(False)
-        ).unionByName(new_bands)
-        all_sigs = old_sigs.unionByName(new_sigs)
-    else:
-        all_bands, all_sigs = new_bands, new_sigs
-
-    new_ids = batch_docs.select(F.col("doc_id").alias("src"))
-    cands = (
-        salted_lsh_candidates(all_bands.drop("is_new"), cfg)
-        .union(simhash_candidates(all_sigs, cfg))
+    have_committed = tio.exists("bands")
+    all_bands = (
+        tio.read("bands").unionByName(new_bands) if have_committed else new_bands
+    )
+    all_chunks = (
+        tio.read("chunks").unionByName(new_chunks) if have_committed else new_chunks
+    )
+    touch_new = (
+        lsh_candidates_probe(new_bands, all_bands, cfg)
+        .union(simhash_candidates_probe(new_chunks, all_chunks, cfg))
         .dropDuplicates(["src", "dst"])
     )
-    # keep only pairs that touch a new doc (old×old pairs are already
-    # committed from earlier batches) — left-semi on either endpoint
-    touch_new = cands.join(new_ids, "src", "left_semi").unionByName(
-        cands.join(new_ids.withColumnRenamed("src", "dst"), "dst", "left_semi")
-    ).dropDuplicates(["src", "dst"])
 
     # shingles for verification: new ones cached; old ones recomputed
     # ONLY for docs that appear in a candidate pair (semi-join pruned)
@@ -141,37 +159,77 @@ def process_batch(
             cfg,
         )
         all_sh = new_sh.unionByName(old_sh)
-        all_docs = old_docs.unionByName(batch_docs)
     else:
-        all_sh, all_docs = new_sh, batch_docs
+        old_docs = None
+        all_sh = new_sh
 
     near = verify_jaccard(touch_new, all_sh, cfg)
-    exact_e = exact_edges(all_docs)
-    exact_touch = exact_e.join(new_ids, "src", "left_semi").unionByName(
-        exact_e.join(new_ids.withColumnRenamed("src", "dst"), "dst", "left_semi")
-    )
-    new_edges = exact_touch.unionByName(near).dropDuplicates(["src", "dst"])
+    # exact edges: the within-batch star plus cross-batch links — the
+    # batch's shas probe the committed sha column map-side (broadcast
+    # batch side), instead of re-grouping the whole corpus by sha
+    exact_touch = exact_edges(batch_docs)
+    if old_docs is not None:
+        cross = (
+            F.broadcast(batch_docs.select(F.col("doc_id").alias("src"), "content_sha"))
+            .join(
+                old_docs.select(F.col("doc_id").alias("dst"), "content_sha"),
+                "content_sha",
+            )
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                F.lit(1.0).alias("est_jacc"),
+                F.lit(1.0).alias("sim"),
+                F.lit("exact").alias("kind"),
+            )
+        )
+        exact_touch = exact_touch.unionByName(cross)
+    new_edges = exact_touch.unionByName(near).dropDuplicates(["src", "dst"]).persist()
+    n_edges = new_edges.count()
 
     tio.write(batch_docs, "docs", mode="append")
     tio.write(new_sigs, "signatures", mode="append")
-    n_edges = new_edges.count()
+    tio.write(new_bands, "bands", mode="append")
+    tio.write(new_chunks, "chunks", mode="append")
     tio.write(new_edges, "edges", mode="append")
 
-    # clusters: rebuild from the full committed edge set (append-only log
-    # → correct transitive closure even when a new doc bridges two old
-    # clusters); cluster_id stays the stable min-doc_id label
-    edges_all = tio.read("edges").dropDuplicates(["src", "dst"])
-    comp = connected_components(
-        edges_all.filter(F.col("kind").isin("exact", "near")), max_iter=cfg.max_cc_iter
+    # clusters: contract new edges through the committed labels, run CC
+    # on the contracted (batch-sized) graph, then relabel by broadcast
+    # map; cluster_id stays the stable min-doc_id label by the
+    # supernode-label invariant (see incremental_components)
+    prev = tio.read("clusters") if tio.exists("clusters") else None
+    keep = new_edges.filter(F.col("kind").isin("exact", "near"))
+    comp = incremental_components(keep, prev, max_iter=cfg.max_cc_iter).persist()
+    comp.count()  # eager: both relabel branches of the clusters write read it
+    new_rows = (
+        batch_docs.select("doc_id", "url")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select("doc_id", "url", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )
-    clusters = assign_clusters(
-        tio.read("docs").select("doc_id", "url"), comp
-    ).select("doc_id", "url", "cluster_id")
+    if prev is not None:
+        relabel = comp.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_new_lab")
+        )
+        old_rows = prev.join(F.broadcast(relabel), "cluster_id", "left").select(
+            "doc_id", "url", F.coalesce("_new_lab", "cluster_id").alias("cluster_id")
+        )
+        clusters = old_rows.unionByName(new_rows)
+    else:
+        clusters = new_rows
     tio.write(clusters, "clusters", mode="overwrite")
 
+    stats = {
+        "new_docs": n_new,
+        "new_edges": n_edges,
+        "banded_rows": new_bands.count(),
+        "cc_edges": keep.count(),
+    }
+    comp.unpersist()
+    new_edges.unpersist()
+    new_sigs.unpersist()
     new_sh.unpersist()
     batch_docs.unpersist()
-    return {"new_docs": n_new, "new_edges": n_edges}
+    return stats
 
 
 # -- J5: per-key running MinHash sketch (arbitrary stateful processing) ------

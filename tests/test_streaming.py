@@ -110,6 +110,35 @@ def test_incremental_equals_oneshot(spark, tmp_path, pages_pdf):
     assert inc == one
 
 
+def test_incremental_batch_proportional_work(spark, tmp_path, pages_pdf):
+    """Round-2 verdict item 4: per-batch band/chunk explode and CC input
+    must scale with the BATCH, not the corpus. A large first batch (250
+    docs) then a small second batch (50 docs): the small batch's band
+    explode covers only its own (representative) docs, and its CC runs
+    on the contracted graph (≤ its own new edges), even though the
+    committed corpus/edge log is 5× larger. Correctness of the
+    incremental labels vs a one-shot run is pinned separately by
+    test_incremental_equals_oneshot."""
+    cfg = DEFAULT_CONFIG
+    tio = TableIO(spark, str(tmp_path / "wh_prop"), backend="parquet")
+    big = pages_pdf.iloc[:250]
+    small = pages_pdf.iloc[250:300]
+    s_big = process_batch(spark, tio, cfg, spark.createDataFrame(big, schema=PAGES))
+    s_small = process_batch(
+        spark, tio, cfg, spark.createDataFrame(small, schema=PAGES)
+    )
+    assert s_small["new_docs"] == 50
+    # band explode input ∝ batch: ≤ 50 reps × bands rows (was: the whole
+    # committed signature table re-banded every batch)
+    assert s_small["banded_rows"] <= 50 * cfg.bands
+    assert s_big["banded_rows"] <= 250 * cfg.bands
+    # CC input = this batch's kept edges only (was: the full edge log);
+    # the committed log after batch 1 is strictly larger than that
+    total_edges = tio.read("edges").count()
+    assert s_small["cc_edges"] <= s_small["new_edges"]
+    assert total_edges > s_small["cc_edges"]
+
+
 def test_incremental_query_plumbing(spark, tmp_path, pages_pdf):
     """The actual readStream→foreachBatch→checkpoint wiring runs and
     commits; a second availableNow pass adds nothing (idempotent)."""
