@@ -160,7 +160,16 @@ def cosine_pairs_arrow(pairs: DataFrame, keep: tuple[str, str] = ("src", "dst"),
     """(src, dst, va, vb) pair rows → (src, dst, cos): one vectorized
     einsum per Arrow batch (float32 upcast to double BEFORE multiply,
     same read semantics as cosine_expr / the DuckDB oracle). The vector
-    payloads die inside the kernel — only slim pair rows come back."""
+    payloads die inside the kernel — only slim pair rows come back.
+
+    Rounding-tie caveat (round-2 advice): ``np.round`` is binary
+    half-even while Spark's ``round`` is HALF_UP on the decimal string —
+    the same divergence class CLAUDE.md documents for Spark vs DuckDB.
+    An exact .xxxx5 cosine tie would make this kernel disagree with the
+    expr twins by 1 ulp at 4 dp. Fine while the Arrow path backs only
+    rows-only qkeys (every SQL-oracle qkey uses the expr twins); if an
+    oracle-backed qkey ever adopts this kernel, round via the decimal
+    string first."""
     in_schema = dict(zip(pairs.schema.names, pairs.schema.fields))
     out_schema = StructType(
         [in_schema[c] for c in keep] + [StructField(out, DoubleType())]

@@ -79,6 +79,21 @@ def est_filter_floor(
 # sit at est ≈ 0.0-0.15 regardless, so selectivity is unaffected while
 # true short-doc pairs keep their ~4.5σ miss margin. For the classic
 # permutation family both helpers reduce to the constant floor.
+#
+# Degenerate regime (round-2 advice): for VERY short docs the relaxed
+# floor clamps to 0.0 — n_eff ≈ nsh²·perms/K² for nsh ≪ K, so with
+# K=128/perms=32 the floor hits 0 near nsh ≈ 20 shingles (~24
+# normalized chars at k=5). Every pair involving such a doc passes both
+# est stages (byte agreement is always ≥ 0). This is recall-SAFE by
+# design and bounded in practice: the D4 length-ratio conjunct already
+# prunes short×long pairs at candidate time, min_text_len floors the
+# population, and exact verification decides survivors. The cost model
+# to watch is a corpus dominated by near-min-length docs, where the est
+# filter degrades to a no-op and the text-verify join sees the whole
+# short-doc candidate flood — acceptable because those docs' shingle
+# sets are equally tiny (cheap to verify), but a corpus like that is
+# better served by raising min_text_len than by tightening the floor
+# (any positive clamp here would trade measured recall for it).
 
 
 def _oph_n_eff(cfg: DedupConfig, perms: int, q):

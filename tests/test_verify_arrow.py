@@ -579,3 +579,45 @@ def test_fused_candidates_bcast_presorted_matches_legacy(spark, tiny_pages_df):
             want = pairset(fused_candidates_bcast(spark, bc_l, cfg, **kw))
             assert got == want, kw
             assert got, ("degenerate fixture", kw)
+
+
+def test_fused_candidates_bcast_production_layout_matches(spark, tiny_pages_df):
+    """The EXACT sideband layout the pipeline ships (round-2 advice):
+    sorted_ids=False + parquet_dir (native pyarrow read of the spill in
+    file order, positional indexing) + cfg presorted slices — pinned
+    against the default collect-built sorted-ids layout across kernel
+    modes, rather than only indirectly via end-to-end pipeline tests."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import representatives, to_docs
+    from dedup.pipeline import _spill
+    from dedup.signatures import with_slim_signatures
+    from dedup.candidates import fused_candidates_bcast, sig_lookup_arrays
+
+    docs = to_docs(tiny_pages_df, cfg)
+    sigs = _spill(with_slim_signatures(representatives(docs, cfg), cfg), "t-prod")
+    prod = sig_lookup_arrays(
+        sigs,
+        with_bands=True,
+        parquet_dir=sigs._dedup_spill_dir,
+        cfg=cfg,
+        sorted_ids=False,
+    )
+    ref = sig_lookup_arrays(sigs, with_bands=True)
+    bc_p = spark.sparkContext.broadcast(prod)
+    bc_r = spark.sparkContext.broadcast(ref)
+
+    def pairset(df):
+        return {
+            (r.src, r.dst, round(r.est_jacc, 9))
+            for r in df.dropDuplicates(["src", "dst"]).collect()
+        }
+
+    for kw in (
+        dict(n_parts=5),
+        dict(n_parts=3, use_simhash=False),
+        dict(n_parts=4, full_est=True),
+    ):
+        got = pairset(fused_candidates_bcast(spark, bc_p, cfg, **kw))
+        want = pairset(fused_candidates_bcast(spark, bc_r, cfg, **kw))
+        assert got == want, kw
+        assert got, ("degenerate fixture", kw)
