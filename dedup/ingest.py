@@ -186,12 +186,36 @@ def _resolve_latest(
         return pre if assume_unique_urls else latest_by_url(pre)
 
 
+def latest_docs_by_url(docs: DataFrame) -> DataFrame:
+    """Post-ingest twin of ``latest_by_url`` for SPECULATIVELY ingested
+    docs frames (to_docs_arrow ``carry_tiebreak=True``): collapse the
+    multi-capture rows to the winning capture per url AFTER the derived
+    columns were computed per capture. The ordering key replicates
+    latest_by_url exactly — (null-coalesced warc_ts, the carried ``_tb``
+    = xxhash64(text, lang) of the resolved row) — so the winner is the
+    identical row; its derived columns (norm_text/n_chars/content_sha)
+    are pure functions of that row, so the collapsed frame equals the
+    probe-first ingest (parity test in tests/test_text.py). The ``_tb``
+    column is consumed here and dropped."""
+    ordk = F.struct(
+        F.coalesce(F.col("warc_ts"), F.to_timestamp(F.lit("1970-01-01"))).alias("ts"),
+        F.col("_tb").alias("tb"),
+    )
+    others = [c for c in docs.columns if c not in ("url", "_tb")]
+    return (
+        docs.groupBy("url")
+        .agg(F.max_by(F.struct(*others, "_tb"), ordk).alias("s"))
+        .select("url", *[F.col(f"s.{c}").alias(c) for c in others])
+    )
+
+
 def to_docs_arrow(
     pages: DataFrame,
     cfg: DedupConfig,
     recompute_text: bool = False,
     assume_unique_urls: bool = False,
     keep_text: bool = True,
+    carry_tiebreak: bool = False,
 ) -> DataFrame:
     """Arrow-kernel twin of ``to_docs`` — identical rows (parity test in
     tests/test_text.py), built for the pipeline hot path: the derived
@@ -210,10 +234,19 @@ def to_docs_arrow(
     doc_id via the vectorized Spark-parity ``hashing.xxh64_strings``.
     ``keep_text=False`` drops the raw text from the output batches —
     the pipeline never reads it past ingest, so its bytes never cross
-    Arrow back."""
+    Arrow back.
+
+    ``carry_tiebreak=True`` (speculative-ingest mode, see
+    pipeline.run_dedup): attach ``_tb = xxhash64(text, lang)`` — the
+    exact latest_by_url tie-break over the resolved row — as a
+    passthrough column, so a later ``latest_docs_by_url`` collapse on
+    the ingested frame picks the identical winner the probe-first path
+    would have, even though the raw text is gone by then. 8 B/row."""
     import pyarrow as pa
 
     latest = _resolve_latest(pages, recompute_text, assume_unique_urls)
+    if carry_tiebreak:
+        latest = latest.withColumn("_tb", F.xxhash64("text", "lang"))
     ws_chars = " \t\n\r\f\x0b"
 
     def run(batches):
@@ -316,16 +349,20 @@ def to_docs_arrow(
                 ("n_chars", n_chars.cast(pa.int64())),
                 ("content_sha", pa.array(shas, type=pa.string())),
             ]
+            if carry_tiebreak:
+                cols.append(("_tb", rb.column(idx("_tb"))))
             yield pa.RecordBatch.from_arrays(
                 [c for _, c in cols], names=[k for k, _ in cols]
             )
 
     text_field = "text string, " if keep_text else ""
-    return latest.select("url", "warc_ts", "lang", "text").mapInArrow(
+    tb_field = ", _tb long" if carry_tiebreak else ""
+    in_cols = ["url", "warc_ts", "lang", "text"] + (["_tb"] if carry_tiebreak else [])
+    return latest.select(*in_cols).mapInArrow(
         run,
         schema=(
             f"url string, doc_id long, warc_ts timestamp, {text_field}"
-            "norm_text string, lang string, n_chars long, content_sha string"
+            f"norm_text string, lang string, n_chars long, content_sha string{tb_field}"
         ),
     )
 

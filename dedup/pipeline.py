@@ -311,15 +311,35 @@ def run_dedup(
     # column (count vs distinct-count — map-side partial agg, ~30 MB of
     # strings at 500k docs) decides whether any url has multiple
     # captures. When none does — the common case for pre-deduplicated /
-    # curated crawls — the latest-by-url aggregation is the identity,
-    # and skipping it removes the ingest stage's largest data movement:
-    # a shuffle carrying the full text payload. Same AQE-style
-    # runtime-stats-drive-the-plan rationale as the broadcast switches.
-    with job_desc(pages.sparkSession, "dedup: url-uniqueness probe"):
-        cnt = pages.agg(
-            F.count("*").alias("n"), F.count_distinct("url").alias("u")
-        ).first()
-    unique_urls = cnt["n"] == cnt["u"]
+    # curated crawls — the latest-by-url aggregation is the identity.
+    # Same AQE-style runtime-stats-drive-the-plan rationale as the
+    # broadcast switches.
+    #
+    # SPECULATIVE OVERLAP (trusted-text path): the probe used to run
+    # serially BEFORE ingest (2.7 task-s at 4 cores, 19.8 at 32 — the
+    # pipeline's worst per-core inflater, pure source-scan contention;
+    # BENCH/BASELINE.md). Now the probe job runs from a daemon thread
+    # while the main thread speculates the common case: ingest ALL
+    # captures immediately (assume_unique_urls=True) carrying the 8 B
+    # latest_by_url tie-break (`_tb`). If the probe reports duplicate
+    # urls, the winning captures are picked AFTER the spill by
+    # `ingest.latest_docs_by_url` — provably the same winners (parity
+    # test), and the collapse agg now shuffles the slim html-free spill
+    # instead of raw pages. Mis-speculation cost: the derived-column
+    # kernel ran over losing captures too. The extractor path
+    # (recompute_text=True) never speculates — extracting losing
+    # captures would run the expensive UDF on rows the probe-first plan
+    # provably skips.
+    spark = pages.sparkSession
+    speculate = not recompute_text
+    probe_out: dict = {}
+
+    def _probe() -> None:
+        with job_desc(spark, "dedup: url-uniqueness probe"):
+            probe_out["cnt"] = pages.agg(
+                F.count("*").alias("n"), F.count_distinct("url").alias("u")
+            ).first()
+
     # `text` is never read past ingest (similarity runs on norm_text;
     # reporting on ids/metadata) — keeping it out of the persisted
     # working set cuts ~1/3 of the cache bytes and of every downstream
@@ -338,16 +358,43 @@ def run_dedup(
     # ASCII batches with the oracle's Python twin as fallback.
     # keep_text=False: the raw text never crosses Arrow back — the
     # pipeline reads only norm_text past ingest.
-    docs = _spill(
-        to_docs_arrow(
-            pages,
-            cfg,
-            recompute_text=recompute_text,
-            assume_unique_urls=unique_urls,
-            keep_text=False,
-        ),
-        "docs",
-    )
+    if speculate:
+        import threading
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        docs = _spill(
+            to_docs_arrow(
+                pages,
+                cfg,
+                recompute_text=False,
+                assume_unique_urls=True,
+                keep_text=False,
+                carry_tiebreak=True,
+            ),
+            "docs",
+        )
+        t.join()
+        cnt = probe_out["cnt"]
+        if cnt["n"] != cnt["u"]:
+            from dedup.ingest import latest_docs_by_url
+
+            docs = _spill(latest_docs_by_url(docs), "docs")
+        else:
+            docs = docs.drop("_tb")
+    else:
+        _probe()
+        cnt = probe_out["cnt"]
+        docs = _spill(
+            to_docs_arrow(
+                pages,
+                cfg,
+                recompute_text=True,
+                assume_unique_urls=cnt["n"] == cnt["u"],
+                keep_text=False,
+            ),
+            "docs",
+        )
     edges, sigs, _sh = build_edges(
         docs, cfg, use_simhash=use_simhash, use_containment=use_containment
     )

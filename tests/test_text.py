@@ -138,6 +138,45 @@ def test_to_docs_arrow_matches_jvm(spark, tiny_pages_df):
     assert "text" not in slim.columns and "norm_text" in slim.columns
 
 
+def test_speculative_ingest_collapse_matches_probe_first(spark, tiny_pages_df):
+    """Speculative-overlap ingest (pipeline.run_dedup): ingesting ALL
+    captures with the carried _tb tie-break and collapsing AFTERWARD
+    (ingest.latest_docs_by_url) must pick row-identical winners to the
+    probe-first plan (latest_by_url before the kernel) — including
+    equal-warc_ts ties, which the deterministic xxhash64(text, lang)
+    tie-break must decide identically on both paths."""
+    from pyspark.sql import functions as F
+
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import latest_docs_by_url, to_docs_arrow
+
+    # multi-capture corpus: every url twice with different text/ts, plus
+    # equal-ts tie captures with different text
+    base = tiny_pages_df.limit(60)
+    older = base.withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 HOUR")
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" stale-tail")))
+    ties = base.withColumn("text", F.concat(F.col("text"), F.lit(" tie-tail")))
+    noisy = base.unionByName(older).unionByName(ties)
+
+    want = {
+        (r.url, r.doc_id, r.norm_text, r.n_chars, r.content_sha)
+        for r in to_docs_arrow(noisy, cfg, keep_text=False).collect()
+    }
+    spec = latest_docs_by_url(
+        to_docs_arrow(
+            noisy, cfg, assume_unique_urls=True, keep_text=False, carry_tiebreak=True
+        )
+    )
+    got = {
+        (r.url, r.doc_id, r.norm_text, r.n_chars, r.content_sha)
+        for r in spec.collect()
+    }
+    assert "_tb" not in spec.columns
+    assert got == want
+    assert len(got) == 60
+
+
 def test_to_docs_arrow_clean_fast_path_parity(spark):
     """All-clean ASCII batches take the identity-normalization fast path
     (no RE2 pass); rows must still equal the JVM twin exactly."""
