@@ -111,7 +111,14 @@ def _spill(df: DataFrame, name: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix=f"dedup-spill-{name}-", dir=base)
     _SPILL_DIRS.append(d)
     w = df.write.option("maxRecordsPerFile", SPILL_MAX_RECORDS_PER_FILE)
-    if _is_tmpfs(base):
+    # $DEDUP_SPILL_COMPRESSION overrides the tmpfs auto-toggle (A/B
+    # lever: compressing the text-heavy docs spill trades CPU — which
+    # scales with cores — for DRAM read traffic on every downstream
+    # scan, which does not; measured both ways in BENCH/BASELINE.md)
+    comp = os.environ.get("DEDUP_SPILL_COMPRESSION")
+    if comp:
+        w = w.option("compression", comp)
+    elif _is_tmpfs(base):
         # RAM-backed scratch: snappy only burns shared DRAM bandwidth —
         # the spill is re-scanned by several downstream stages and every
         # scan would re-decompress bytes that already live in memory.
