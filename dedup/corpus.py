@@ -1,0 +1,171 @@
+"""Corpus-level hygiene operators for LLM training-data pipelines:
+boilerplate-line removal, benchmark decontamination, intra-doc
+repetition counts.
+
+These are the standard web-corpus curation steps (CCNet line-dedup;
+Gopher/Dolma repetition rules; test-set n-gram decontamination) built
+Spark-first: every per-doc feature is a pure Column expression
+(whole-stage codegen), and the two corpus-level ops reduce to one
+map-side-combinable aggregation plus one broadcast (anti-/semi-) join —
+the shapes that survive a 100 TB scan. No Python crosses the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dedup.textstats import tokens_expr
+
+
+def _clean_tokens(col: str | Column) -> Column:
+    """Whitespace tokens with empties removed (edge/double spaces)."""
+    return F.array_remove(tokens_expr(col), "")
+
+
+def word_ngrams_expr(col: str | Column, n: int) -> Column:
+    """Space-joined word n-grams of a whitespace-tokenized text. Docs
+    with fewer than ``n`` tokens yield an empty list (never a partial
+    gram). Pure SQL; the guard matters because Spark ``sequence(1, x)``
+    with x < 1 COUNTS DOWN instead of returning empty."""
+    toks = _clean_tokens(col)
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_counts(col: str | Column, n: int = 2) -> dict[str, Column]:
+    """Intra-document n-gram repetition (Gopher/Dolma quality rule):
+    total vs distinct word n-grams. Emitted as two exact BIGINTs, NOT a
+    ratio — distinct/total can land on exact .xxxx5 decimal ties (e.g.
+    a 64-gram doc), where Spark (HALF_UP on the decimal string) and
+    binary-double engines disagree by one digit (CLAUDE.md); consumers
+    derive the fraction at whatever precision they need."""
+    grams = word_ngrams_expr(col, n)
+    return {
+        "n_ngrams": F.size(grams).cast("long"),
+        "n_distinct_ngrams": F.size(F.array_distinct(grams)).cast("long"),
+    }
+
+
+def chunk_lines_expr(col: str | Column, width: int = 10) -> Column:
+    """Deterministic 'line'-ification of word-stream corpora:
+    consecutive ``width``-token chunks joined by single spaces. Real
+    crawl text would use split(text, '\\n') directly; the driver's
+    synthetic tables carry no newlines, so the chunking supplies an
+    equivalent stable line structure for ``remove_common_lines`` (the
+    operator itself is line-source-agnostic: any array<string> column)."""
+    toks = _clean_tokens(col)
+    sz = F.size(toks)
+    n_chunks = F.ceil(sz / F.lit(float(width))).cast("int")
+    return F.when(
+        sz > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def remove_common_lines(
+    docs: DataFrame,
+    line_col: str = "lines",
+    id_col: str = "doc_id",
+    max_df: int = 1,
+) -> DataFrame:
+    """CCNet-style boilerplate-line removal: a line occurring in more
+    than ``max_df`` DISTINCT documents is boilerplate; every document is
+    rebuilt from its surviving lines in original order.
+
+    Returns (id, n_lines, n_kept, clean_text) for EVERY input doc (a doc
+    whose lines are all boilerplate keeps a row with n_kept = 0).
+
+    Scale shape: the line-frequency aggregation is a hash aggregate with
+    map-side partial combine over the exploded lines; the boilerplate
+    set (lines above the threshold — tiny by definition of boilerplate)
+    is broadcast into the anti-join, so the explode stream never
+    shuffles twice. Order-preserving rebuild = sort the collected
+    (ln_idx, line) structs per doc — array_sort on structs orders by
+    field position, making the collect_list order-independence explicit
+    (SURVEY §4.2 partitioning-independent outputs)."""
+    lines = docs.select(id_col, F.posexplode(line_col).alias("ln_idx", "line"))
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ln_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(id_col, F.size(line_col).cast("long").alias("n_lines"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing any word
+    ``n``-gram with a benchmark corpus. Returns (id, n_hits,
+    contaminated) for every doc; n_hits = count of DISTINCT overlapping
+    n-grams.
+
+    Scale shape: the benchmark side (small by nature) collapses to a
+    distinct gram set and is broadcast into a left-semi probe of the
+    exploded training grams — the 100 TB side never shuffles on the
+    gram key. ``hash_grams`` ships xxhash64(gram) 8-byte keys instead
+    of gram strings through the probe (~10× smaller broadcast; a 64-bit
+    collision can only ADD a phantom hit, odds ~|grams|²/2⁶⁴). For a
+    benchmark too big to broadcast, disable the broadcast hint and let
+    the semi-join shuffle — same plan shape the LSH joins use."""
+    key = (
+        (lambda c: F.xxhash64(c).alias("gram"))
+        if hash_grams
+        else (lambda c: c.alias("gram"))
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        # explode in its own projection: a generator can't nest inside
+        # another expression (xxhash64(explode(...)) is rejected)
+        e = df.select(id_col, F.explode(word_ngrams_expr(text_col, n)).alias("g"))
+        return e.select(id_col, key(F.col("g")))
+
+    bench_grams = grams(bench).select("gram").distinct()
+    hits = (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -978,6 +978,110 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus hygiene (dedup/corpus.py): line-dedup, decontamination, repetition
+# ---------------------------------------------------------------------------
+
+#: shared DuckDB fragment: whitespace tokens with empties removed
+#: (twin of corpus._clean_tokens)
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB twin of corpus.word_ngrams_expr over `toks`."""
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN"
+        f" [array_to_string(toks[i:i+{n - 1}], ' ')"
+        f"  for i in generate_series(1, len(toks) - {n - 1})]"
+        " ELSE []::VARCHAR[] END"
+    )
+
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {_grams_sql(2)} AS grams FROM t)
+SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
+       len(list_distinct(grams))::BIGINT AS n_distinct_ngrams FROM g
+"""
+
+
+@register("repetition_score", _REPETITION_SQL)
+def q_repetition_score(spark, sf_dir):
+    """Gopher/Dolma-style intra-doc repetition signal: total vs distinct
+    word bigrams, as exact BIGINTs (a rounded ratio can land on .xxxx5
+    decimal ties where Spark and DuckDB rounding diverge)."""
+    from dedup.corpus import repetition_counts
+
+    d = load(spark, sf_dir, "documents")
+    rc = repetition_counts("text", n=2)
+    return d.select(
+        "doc_id",
+        rc["n_ngrams"].alias("n_ngrams"),
+        rc["n_distinct_ngrams"].alias("n_distinct_ngrams"),
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {_grams_sql(8)} AS grams FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+b AS (SELECT DISTINCT gram FROM e WHERE doc_id < 5),
+h AS (SELECT e.doc_id, count(DISTINCT e.gram)::BIGINT AS n_hits
+      FROM e JOIN b USING (gram) GROUP BY e.doc_id)
+SELECT t.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN h USING (doc_id)
+"""
+
+
+@register("decontaminate", _DECONTAMINATE_SQL)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 8-gram with the
+    'benchmark' slice (doc_id < 5 stands in for a held-out eval set).
+    The Spark path ships hashed grams (the scale default); hash equality
+    with the string-gram oracle holds modulo 64-bit collisions
+    (~|grams|²/2⁻⁶⁴ — vanishing at sf scales)."""
+    from dedup.corpus import decontaminate
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate(d, d.filter(F.col("doc_id") < 5), n=8)
+
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+l AS (SELECT doc_id, CASE WHEN len(toks) > 0 THEN
+        [array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+         for i in generate_series(0, cast(ceil(len(toks)/10.0) AS BIGINT) - 1)]
+      ELSE []::VARCHAR[] END AS lines FROM t),
+e AS (SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS ln_idx FROM l),
+b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+                        FROM e GROUP BY line) WHERE df > 1),
+k AS (SELECT e.* FROM e ANTI JOIN b USING (line)),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, ' ' ORDER BY ln_idx) AS clean_text
+      FROM k GROUP BY doc_id)
+SELECT l.doc_id, len(l.lines)::BIGINT AS n_lines,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM l LEFT JOIN a USING (doc_id)
+"""
+
+
+@register("line_dedup", _LINE_DEDUP_SQL)
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style boilerplate-line removal over deterministic 10-token
+    'lines' (the driver corpus carries no newlines — the operator itself
+    takes any array<string> line column). A line in more than one doc is
+    boilerplate; docs are rebuilt from surviving lines in order."""
+    from dedup.corpus import chunk_lines_expr, remove_common_lines
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", chunk_lines_expr("text", width=10).alias("lines")
+    )
+    return remove_common_lines(d, max_df=1)
+
+
+# ---------------------------------------------------------------------------
 # I. clustering — the flagship near-dup pipeline
 # ---------------------------------------------------------------------------
 
@@ -1391,8 +1495,10 @@ _PRIORITY = [
     "stateful_sketch",
     # flagship reporting surface
     "cluster_report",
-    # new this round: containment verification on LSH candidates
-    "near_dup_with_containment",
+    # new this round: containment verification on LSH candidates +
+    # corpus-hygiene extras (line dedup, decontamination, repetition)
+    "near_dup_with_containment", "line_dedup", "decontaminate",
+    "repetition_score",
     # -- recorded in round 1 only (green there) ---------------------------
     "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",

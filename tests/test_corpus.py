@@ -1,0 +1,127 @@
+"""Corpus-hygiene operators (dedup/corpus.py): boilerplate-line removal,
+decontamination, repetition counts — unit semantics on hand corpora; the
+sf0.01 DuckDB twins are pinned by the driver-mirror suite
+(test_queries_oracle.py) like every other SQL-oracle qkey."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedup.corpus import (
+    chunk_lines_expr,
+    decontaminate,
+    remove_common_lines,
+    repetition_counts,
+    word_ngrams_expr,
+)
+
+
+def test_word_ngrams_expr_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a  b "),  # double/edge spaces -> empty tokens removed
+            (3, "only"),  # shorter than n -> empty list, not partial gram
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", word_ngrams_expr("text", 2).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["a b", "b c", "c d"]
+    assert got[2] == ["a b"]
+    assert got[3] == []
+    assert got[4] == []
+
+
+def test_repetition_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d")], "doc_id long, text string"
+    )
+    rc = repetition_counts("text", n=2)
+    got = {
+        r.doc_id: (r.n, r.d)
+        for r in df.select(
+            "doc_id", rc["n_ngrams"].alias("n"), rc["n_distinct_ngrams"].alias("d")
+        ).collect()
+    }
+    assert got[1] == (5, 2)  # grams: xy yx xy yx xy
+    assert got[2] == (3, 3)
+
+
+def test_chunk_lines_and_remove_common_lines(spark):
+    # docs 1 and 2 share their first 10-token chunk exactly (boilerplate);
+    # tails are unique. doc 3 is entirely unique. doc 4 is ALL boilerplate.
+    boiler = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " tail one body text here"),
+            (2, boiler + " other tail entirely"),
+            (3, "fully unique document body of words"),
+            (4, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    lines = df.select("doc_id", chunk_lines_expr("text", width=10).alias("lines"))
+    out = {
+        r.doc_id: r
+        for r in remove_common_lines(lines, max_df=1).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # every doc keeps a row
+    assert out[1].n_lines == 2 and out[1].n_kept == 1
+    assert out[1].clean_text == "tail one body text here"
+    assert out[2].clean_text == "other tail entirely"
+    assert out[3].n_kept == out[3].n_lines == 1
+    assert out[3].clean_text == "fully unique document body of words"
+    assert out[4].n_kept == 0 and out[4].clean_text == ""
+
+
+def test_remove_common_lines_preserves_order(spark):
+    # surviving lines must be rejoined in ORIGINAL order even though
+    # collect_list order is partition-dependent
+    n = 6
+    text = " ".join(
+        " ".join(f"t{c}{i}" for i in range(10)) for c in range(n)
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string").repartition(4)
+    lines = df.select("doc_id", chunk_lines_expr("text", width=10).alias("lines"))
+    row = remove_common_lines(lines, max_df=1).collect()[0]
+    assert row.clean_text == text
+
+
+def test_decontaminate_hash_matches_strings(spark):
+    df = spark.createDataFrame(
+        [(i, f"common prefix words one two three four five unique tail {i} x y z")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = df.filter(F.col("doc_id") < 2)
+    a = {
+        (r.doc_id, r.n_hits, r.contaminated)
+        for r in decontaminate(df, bench, n=8, hash_grams=True).collect()
+    }
+    b = {
+        (r.doc_id, r.n_hits, r.contaminated)
+        for r in decontaminate(df, bench, n=8, hash_grams=False).collect()
+    }
+    assert a == b
+    got = dict((r[0], r[2]) for r in a)
+    # every doc shares the 8-gram 'common prefix ... five' window with bench
+    assert all(got.values())
+    assert len(a) == 20
+
+
+def test_decontaminate_clean_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = decontaminate(df, df.filter(F.col("doc_id") < 2), n=8).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[0].contaminated and by[1].contaminated  # bench ∩ itself
+    assert not any(by[i].contaminated for i in (2, 3, 4, 5))
+    assert all(by[i].n_hits == 0 for i in (2, 3, 4, 5))
