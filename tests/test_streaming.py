@@ -85,10 +85,17 @@ def test_ingest_rate_windows(spark, tmp_path, pages_pdf):
 
 def test_incremental_equals_oneshot(spark, tmp_path, pages_pdf):
     """3 microbatches through process_batch ≡ one batch run (same final
-    cluster assignment), including cross-batch near-dup pairs."""
+    cluster assignment), including cross-batch near-dup pairs.
+
+    The cuts deliberately SPLIT gen_pages' 100-doc duplicate tiles
+    (cuts at 130/230, not 100/200): tile-aligned batches would put
+    every dup pair inside one batch and never exercise the cross-batch
+    candidate probe or the committed-cluster contraction — the paths
+    this test exists to pin."""
     cfg = DEFAULT_CONFIG
     n = len(pages_pdf)
-    cuts = [0, n // 3, 2 * n // 3, n]
+    assert n == 300
+    cuts = [0, 130, 230, n]
 
     tio = TableIO(spark, str(tmp_path / "wh_inc"), backend="parquet")
     for i in range(3):
@@ -108,6 +115,75 @@ def test_incremental_equals_oneshot(spark, tmp_path, pages_pdf):
         for r in res.clusters.select("url", "cluster_id").collect()
     }
     assert inc == one
+
+
+def test_incremental_merges_two_committed_clusters(spark, tmp_path):
+    """The contracted-CC merge path, isolated: batch 1 commits cluster
+    {A1,A2}, batch 2 commits disjoint cluster {B1,B2}, batch 3 adds one
+    doc C near-similar to BOTH — the three committed clusters must
+    collapse to ONE with the global min doc_id as label, and untouched
+    singletons keep their labels."""
+    import datetime
+
+    import pandas as pd
+
+    from dedup.schema import PAGES
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 6
+    other = ("one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen ") * 6
+
+    def page(url, text, i):
+        return {
+            "url": url,
+            "warc_ts": datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=i),
+            "html": None,
+            "text": text,
+            "lang": "en",
+        }
+
+    # Construction: committed clusters can only merge later if a NEW
+    # doc is near BOTH yet the two olds are not near each other —
+    # b1 edits every 6th token of a1's text (J(a1,b1) below thresh),
+    # c applies exactly HALF of b1's edits (same positions, same
+    # replacements), sitting between them (J(c,a1) and J(c,b1) both
+    # above thresh).
+    toks = base.split()
+    n_t = len(toks)
+    b1_toks = list(toks)
+    for i in range(0, n_t, 6):
+        b1_toks[i] = f"edit{i}"
+    c_toks = list(toks)
+    for i in range(0, n_t, 18):
+        c_toks[i] = f"edit{i}"
+    rows1 = [page("u://a1", " ".join(toks), 1)]
+    rows2 = [page("u://b1", " ".join(b1_toks), 2), page("u://x", other, 3)]
+    rows3 = [page("u://c", " ".join(c_toks), 4)]
+
+    # measured char-5-gram Jaccards for this construction: J(a1,b1) =
+    # 0.466, J(c,a1) = 0.648, J(c,b1) = 0.719 — thresh 0.55 separates
+    # with ≥0.08 margin on both sides; HIGH_RECALL banding catches the
+    # 0.6-0.7 bridge pairs
+    cfg = DEFAULT_CONFIG.with_(bands=32, rows_per_band=4, jaccard_thresh=0.55)
+    tio = TableIO(spark, str(tmp_path / "wh_merge"), backend="parquet")
+    for rows in (rows1, rows2, rows3):
+        process_batch(
+            spark, tio, cfg, spark.createDataFrame(pd.DataFrame(rows), schema=PAGES)
+        )
+    cl = {r.url: r.cluster_id for r in tio.read("clusters").collect()}
+    assert len(cl) == 4
+    # after batch 2, a1 and b1 were separate committed clusters (their
+    # Jaccard is below thresh); c bridges them in batch 3
+    assert cl["u://a1"] == cl["u://b1"] == cl["u://c"]
+    assert cl["u://x"] not in (cl["u://a1"],)
+    # label is the min doc_id across the MERGED component
+    import builtins
+
+    merged_ids = [
+        r.doc_id for r in tio.read("docs").collect() if r.url != "u://x"
+    ]
+    assert cl["u://a1"] == builtins.min(merged_ids)
 
 
 def test_incremental_batch_proportional_work(spark, tmp_path, pages_pdf):
