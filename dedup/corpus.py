@@ -72,6 +72,62 @@ def chunk_lines_expr(col: str | Column, width: int = 10) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def canonical_url_expr(col: str | Column) -> Column:
+    """Crawl-frontier URL canonicalization, pure SQL: lowercase scheme
+    and host, drop the fragment, drop protocol-default ports (http:80,
+    https:443), strip trailing slashes from the path, sort query
+    parameters. Two captures of the same resource then compare equal on
+    the canonical string — the key for exact-URL dedup / frontier
+    seen-sets at crawl scale (a 100 TB frontier dedup is a groupBy on
+    this expression; everything here is whole-stage codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    auth = F.parse_url(c, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, ":(\\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    query = F.parse_url(c, F.lit("QUERY"))
+    qsorted = F.when(
+        query.isNotNull() & (query != ""),
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        qsorted,
+    )
+
+
+def token_vocab(
+    docs: DataFrame, text_col: str = "text", k: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` whitespace tokens by total count,
+    with per-token document frequency. Deterministic under ties (order
+    by count desc, then token asc — a total order, so the LIMIT
+    boundary is engine-independent).
+
+    Scale shape: one hash aggregate over the exploded tokens (map-side
+    partial combine collapses each task's token stream to its local
+    vocabulary before the shuffle — the shuffle carries ~|vocab| rows
+    per task, not |tokens|), then Spark fuses orderBy+limit into
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    toks = docs.select(id_col, F.explode(_clean_tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.count_distinct(id_col).cast("long").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(k)
+
+
 def remove_common_lines(
     docs: DataFrame,
     line_col: str = "lines",

@@ -1067,6 +1067,56 @@ FROM l LEFT JOIN a USING (doc_id)
 """
 
 
+_VOCAB_SQL = f"""
+WITH e AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+SELECT tok, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM e GROUP BY tok ORDER BY n_occurrences DESC, tok ASC LIMIT 100
+"""
+
+
+@register("vocab_topk", _VOCAB_SQL)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by occurrence count with
+    document frequency. Tie order (count desc, token asc) is total, so
+    the LIMIT boundary is engine-independent."""
+    from dedup.corpus import token_vocab
+
+    return token_vocab(load(spark, sf_dir, "documents"), k=100)
+
+
+@register("url_normalize")  # rows-only (no url column in driver tables)
+def q_url_normalize(spark, sf_dir):
+    """Crawl-frontier URL canonicalization: deterministic messy variants
+    of gen_pages urls (uppercased scheme/host, default port, unsorted
+    query, fragment) must canonicalize to the same string as the clean
+    form. Emits the invariant per url; unit semantics pinned in
+    tests/test_corpus.py."""
+    from dedup.corpus import canonical_url_expr
+    from dedup.datagen import gen_pages
+
+    pages = gen_pages(spark, 200, seed=42, partitions=4).select("url")
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    messy = pages.select(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"), F.upper(host), F.lit(":443"), path,
+            F.lit("?b=2&a=1#frag"),
+        ).alias("messy"),
+        F.concat(
+            F.lit("https://"), host, path, F.lit("?a=1&b=2"),
+        ).alias("clean"),
+    )
+    return messy.select(
+        "url",
+        canonical_url_expr("messy").alias("canon"),
+        (canonical_url_expr("messy") == canonical_url_expr("clean")).alias(
+            "canon_stable"
+        ),
+    )
+
+
 @register("line_dedup", _LINE_DEDUP_SQL)
 def q_line_dedup(spark, sf_dir):
     """CCNet-style boilerplate-line removal over deterministic 10-token
@@ -1498,7 +1548,7 @@ _PRIORITY = [
     # new this round: containment verification on LSH candidates +
     # corpus-hygiene extras (line dedup, decontamination, repetition)
     "near_dup_with_containment", "line_dedup", "decontaminate",
-    "repetition_score",
+    "repetition_score", "vocab_topk", "url_normalize",
     # -- recorded in round 1 only (green there) ---------------------------
     "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",

@@ -8,10 +8,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dedup.corpus import (
+    canonical_url_expr,
     chunk_lines_expr,
     decontaminate,
     remove_common_lines,
     repetition_counts,
+    token_vocab,
     word_ngrams_expr,
 )
 
@@ -113,6 +115,33 @@ def test_decontaminate_hash_matches_strings(spark):
     # every doc shares the 8-gram 'common prefix ... five' window with bench
     assert all(got.values())
     assert len(a) == 20
+
+
+def test_canonical_url_expr(spark):
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://Example.COM:443/a/b/?b=2&a=1#frag", "https://example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?a=1&b=2", "https://example.com/a/b?a=1&b=2"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+        ("http://example.com/", "http://example.com"),
+        ("http://EXAMPLE.com/path///", "http://example.com/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonical_url_expr("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_token_vocab_counts_and_tie_order(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b  z")], "doc_id long, text string"
+    )
+    rows = token_vocab(df, k=3).collect()
+    assert [(r.tok, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 3, 2),  # tie with 'a' broken by token asc
+        ("c", 1, 1),  # tie with 'z' broken by token asc at the LIMIT edge
+    ]
 
 
 def test_decontaminate_clean_corpus(spark):
