@@ -1,0 +1,180 @@
+"""Property-based + seeded-fuzz tests for the subtle pure kernels.
+
+Hypothesis drives the pure-Python/numpy functions (shrinking finds
+minimal counterexamples); Spark-side expressions are fuzzed with ONE
+batched DataFrame per test (per-example Spark jobs would be 100×
+slower for no extra coverage).
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+# -- suffix-doubling + Kasai longest-common-substring kernel ---------------
+
+
+def _lcs_substr_brute(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="ab", max_size=24),
+    st.text(alphabet="ab", max_size=24),
+)
+def test_longest_common_substring_matches_brute_force(a, b):
+    """Tiny alphabet maximizes repeated substrings — the regime where
+    the suffix-array rank-doubling and Kasai LCP bookkeeping can break."""
+    from dedup.verify import longest_common_substring_len
+
+    assert longest_common_substring_len(a, b) == _lcs_substr_brute(a, b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.text(alphabet=string.ascii_lowercase + "é中 ", max_size=30),
+    st.text(alphabet=string.ascii_lowercase + "é中 ", max_size=30),
+)
+def test_longest_common_substring_unicode(a, b):
+    from dedup.verify import longest_common_substring_len
+
+    assert longest_common_substring_len(a, b) == _lcs_substr_brute(a, b)
+
+
+# -- LCS (subsequence) DP ---------------------------------------------------
+
+
+def _lcs_brute(a: str, b: str) -> int:
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b):
+            cur.append(max(prev[j + 1], cur[-1], prev[j] + (x == y)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="abc", max_size=20),
+    st.text(alphabet="abc", max_size=20),
+)
+def test_lcs_len_matches_brute_force(a, b):
+    from dedup.verify import _lcs_len_exact
+
+    assert _lcs_len_exact(a, b) == _lcs_brute(a, b)
+
+
+# -- normalization parity (oracle twin is the pinned truth) -----------------
+
+
+def test_normalize_fuzz_parity(spark):
+    """Seeded fuzz batch: Spark normalize_text == the Python oracle twin
+    on adversarial whitespace/unicode mixes (one Spark job total)."""
+    from dedup.text import normalize_text, normalize_text_py
+
+    rng = random.Random(7)
+    pieces = ["a", "B", " ", "\t", "\n", "\r", "\f", "\x0b", "é", "中", "x  y", ""]
+    rows = [
+        ("".join(rng.choice(pieces) for _ in range(rng.randrange(0, 40))),)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [
+        (r.t, r.n)
+        for r in df.select("t", normalize_text("t").alias("n")).collect()
+    ]
+    for t, n in got:
+        assert n == normalize_text_py(t), repr(t)
+
+
+# -- URL canonicalization ---------------------------------------------------
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    """canon(canon(u)) == canon(u) and case-insensitivity of scheme/host
+    over a seeded grid of url shapes (one Spark job)."""
+    from dedup.corpus import canonical_url_expr
+
+    rng = random.Random(11)
+    urls = []
+    for _ in range(200):
+        proto = rng.choice(["http", "https", "HTTP", "HtTpS"])
+        host = rng.choice(["example.com", "Sub.Example.COM", "a.b.c"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/x", "/x/y/", "/x//"])
+        q = rng.choice(["", "?b=2&a=1", "?z=9", "?a=1&a=0"])
+        frag = rng.choice(["", "#f", "#a/b?c=1"])
+        urls.append((f"{proto}://{host}{port}{path}{q}{frag}",))
+    df = spark.createDataFrame(urls, "u string")
+    out = df.select(
+        canonical_url_expr("u").alias("c1"),
+    ).withColumn("c2", canonical_url_expr(F.col("c1")))
+    for r in out.collect():
+        assert r.c1 == r.c2, r
+        assert "#" not in r.c1
+        host_part = r.c1.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+        assert host_part == host_part.lower()
+        # only the PROTOCOL-DEFAULT port is dropped (http:80 / https:443);
+        # a mismatched port (e.g. https://h:80) is a real address and stays
+        proto_part = r.c1.split("://", 1)[0]
+        if proto_part == "http":
+            assert not host_part.endswith(":80")
+        if proto_part == "https":
+            assert not host_part.endswith(":443")
+
+
+# -- connected components vs brute-force union-find -------------------------
+
+
+def test_connected_components_random_graphs(spark):
+    """Seeded random graphs (incl. chains and a dense blob) vs a pure
+    Python union-find; also pins label = min vertex id per component.
+    Exercises both the single-task numpy path and (via the threshold
+    knob) the iterative loop."""
+    from dedup.components import connected_components
+
+    rng = random.Random(3)
+    for trial, force_loop in [(0, False), (1, False), (2, True)]:
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        edges += [(i, i + 1) for i in range(40, 50)]  # a chain
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        verts = {v for e in edges for v in e}
+        for v in verts:
+            want[v] = find(v)
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        kw = {"small_graph_edges": 0} if force_loop else {}
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(df, **kw).collect()
+        }
+        assert got == want, (trial, force_loop)
