@@ -857,6 +857,18 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_pairs(load(spark, sf_dir, "embeddings"), thresh=0.45, n_planes=6)
 
 
+@register("ann_ivf")  # rows-only: IVF coarse-quantizer top-k (second scale path)
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k for the first 10 vectors as queries —
+    deterministic centroids (seeded-hash sample), n_probe cells per
+    query, exact cosine re-rank. Recall vs the exact window oracle is
+    pinned in tests/test_simsearch.py."""
+    from dedup.simsearch import ivf_topk
+
+    v = load(spark, sf_dir, "embeddings")
+    return ivf_topk(v, v.filter(F.col("vec_id") < 10), k=5)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1548,7 +1560,7 @@ _PRIORITY = [
     # new this round: containment verification on LSH candidates +
     # corpus-hygiene extras (line dedup, decontamination, repetition)
     "near_dup_with_containment", "line_dedup", "decontaminate",
-    "repetition_score", "vocab_topk", "url_normalize",
+    "repetition_score", "vocab_topk", "url_normalize", "ann_ivf",
     # -- recorded in round 1 only (green there) ---------------------------
     "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",

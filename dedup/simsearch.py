@@ -25,7 +25,13 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def dot_expr(a: str | F.Column, b: str | F.Column) -> F.Column:
@@ -339,4 +345,119 @@ def lsh_pairs_expr(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int 
         .withColumn("cos", F.round(cosine_expr("va", "vb"), 4))
         .filter(F.col("cos") >= thresh)
         .select("src", "dst", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second prompt-named scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(vecs: DataFrame, n_cells: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse quantizer: the ``n_cells`` vectors with the
+    smallest xxhash64(vec_id) become the (L2-normalized) cell centroids
+    — a seeded uniform sample that is partition- and run-independent,
+    with no iterative k-means job (at real scale you would train
+    centroids once offline and ship them exactly like this: a tiny
+    driver-side matrix broadcast into the kernels). Bounded collect:
+    n_cells rows."""
+    rows = (
+        vecs.select(id_col, vec_col)
+        .orderBy(F.xxhash64(id_col), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def with_ivf_cell(vecs: DataFrame, centroids: np.ndarray, n_probe: int = 1,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Attach the ``n_probe`` nearest cell ids (by cosine to the
+    centroid) to every vector: one GEMM against the centroid matrix per
+    Arrow batch, exploded to (row, cell) pairs JVM-side. n_probe=1 for
+    the indexed corpus; queries probe several cells to recover vectors
+    whose own cell assignment disagrees with the query's."""
+    cent = centroids  # captured in the closure, shipped with the task
+    out_schema = StructType(
+        list(vecs.schema) + [StructField("cells", ArrayType(LongType()))]
+    )
+
+    def gen(batches):
+        for rb in batches:
+            mat = _batch_matrix(rb.column(vec_col))
+            if mat.shape[0] == 0:
+                continue
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cent.T  # (n, n_cells) cosine to centroids
+            if n_probe >= sims.shape[1]:
+                top = np.argsort(-sims, axis=1)
+            else:
+                part = np.argpartition(-sims, n_probe, axis=1)[:, :n_probe]
+                order = np.argsort(
+                    -np.take_along_axis(sims, part, axis=1), axis=1
+                )
+                top = np.take_along_axis(part, order, axis=1)
+            cells = top[:, :n_probe].astype(np.int64)
+            arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (cells.shape[0] + 1) * cells.shape[1],
+                              cells.shape[1], dtype=np.int32)
+                ),
+                pa.array(cells.reshape(-1)),
+            )
+            yield rb.append_column(
+                pa.field("cells", pa.list_(pa.int64())), arr
+            )
+
+    return vecs.mapInArrow(gen, out_schema)
+
+
+def ivf_topk(vecs: DataFrame, queries: DataFrame, k: int, n_cells: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (one cell each); each query probes its ``n_probe`` nearest
+    cells; exact cosine re-ranks only the probed candidates. The
+    centroid matrix is tiny and rides into both kernels driver-side;
+    the only join is query-cells × corpus-cells on the cell id — the
+    100 TB shape (vs topk_neighbors' full broadcast cross). Recall is
+    tuned by n_probe/n_cells (test: ≥0.9 on the driver embeddings at
+    defaults vs the exact oracle). Same output schema + deterministic
+    tie rule as topk_neighbors (rounded cosine, neighbor-id tiebreak)."""
+    from pyspark.sql import Window
+
+    cent = ivf_centroids(vecs, n_cells, id_col, vec_col)
+    corpus = (
+        with_ivf_cell(vecs, cent, n_probe=1, vec_col=vec_col)
+        .select(
+            F.explode("cells").alias("cell"),
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("nv"),
+        )
+    )
+    probes = (
+        with_ivf_cell(queries, cent, n_probe=n_probe, vec_col=vec_col)
+        .select(
+            F.explode("cells").alias("cell"),
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("qv"),
+        )
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.col("qv").alias("va"), F.col("nv").alias("vb"))
+    )
+    scored = cosine_pairs_arrow(pairs, keep=("q_id", "n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", F.col("rank").cast("long").alias("rank"))
     )

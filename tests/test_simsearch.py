@@ -77,6 +77,53 @@ def test_lsh_plan_has_no_interpreted_lambda_or_driver_probe(spark, vecs):
     assert "aggregate(" not in plan
 
 
+def test_ivf_topk_recall_vs_exact(spark, vecs):
+    """IVF approximate top-k in the regime it exists for: 32 PLANTED
+    near-duplicate vectors at cos ∈ [0.9, 0.99] (the same construction
+    as the LSH recall test — a near-collinear pair lands in the same
+    centroid cell almost surely, and n_probe=4 covers the rest). Gates:
+    ≥0.9 of planted queries retrieve their twin in top-5; retrieved
+    cosines are EXACT (IVF only approximates the candidate set, the
+    re-rank is exact — cross-checked against the window oracle); and
+    probing ALL cells reproduces the exact oracle verbatim."""
+    import numpy as np
+
+    from dedup.simsearch import ivf_topk, topk_neighbors
+
+    base = vecs.orderBy("vec_id").limit(32).collect()
+    rng = np.random.default_rng(13)
+    rows = []
+    for i, r in enumerate(base):
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v /= np.linalg.norm(v)
+        target = float(rng.uniform(0.9, 0.99))
+        g = rng.standard_normal(v.size)
+        g -= g.dot(v) * v
+        g /= np.linalg.norm(g)
+        w = target * v + np.sqrt(1 - target**2) * g
+        rows.append((int(30_000_000 + i), [float(x) for x in w]))
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = vecs.selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    ).unionByName(planted)
+    q = planted  # the planted copies query for their originals
+
+    exact = topk_neighbors(corpus, q, k=5).collect()
+    approx = ivf_topk(corpus, q, k=5).collect()
+    exact_map = {(r.q_id, r.n_id): r.cos for r in exact}
+    approx_map = {(r.q_id, r.n_id): r.cos for r in approx}
+    twin_of = {30_000_000 + i: r.vec_id for i, r in enumerate(base)}
+    hits = sum(1 for qid, nid in approx_map if twin_of.get(qid) == nid)
+    assert hits / len(twin_of) >= 0.9, f"twin recall {hits}/{len(twin_of)}"
+    for key in set(approx_map) & set(exact_map):
+        assert approx_map[key] == exact_map[key]
+    full = {
+        (r.q_id, r.n_id): r.cos
+        for r in ivf_topk(corpus, q, k=5, n_cells=16, n_probe=16).collect()
+    }
+    assert full == exact_map
+
+
 @pytest.fixture(scope="module")
 def skew_vecs(spark, vecs):
     """Adversarial embedding corpus: the full table plus ONE embedding
