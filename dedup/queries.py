@@ -1369,6 +1369,22 @@ def q_snapshot_read(spark, sf_dir):
     return tio.read("t", snapshot_id=s0)  # only the first commit's rows
 
 
+# oracle = the appended predicate: the delta BETWEEN two snapshots of a
+# committed table (time travel + exceptAll) must be exactly the rows
+# the second commit added — the cross-run "docs gained" diff
+@register("snapshot_diff", "SELECT doc_id, lang FROM documents WHERE lang <> 'en'")
+def q_snapshot_diff(spark, sf_dir):
+    import tempfile
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, tempfile.mkdtemp(prefix="qdiff-"), backend="parquet")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    s0 = tio.write(docs.filter(F.col("lang") == "en"), "t", mode="append")
+    s1 = tio.write(docs.filter(F.col("lang") != "en"), "t", mode="append")
+    return tio.read("t", snapshot_id=s1).exceptAll(tio.read("t", snapshot_id=s0))
+
+
 @register("conn_comp", _CONN_COMP_SQL)  # I1: components over the edge frame
 def q_conn_comp(spark, sf_dir):
     from dedup.components import connected_components
@@ -1561,6 +1577,7 @@ _PRIORITY = [
     # corpus-hygiene extras (line dedup, decontamination, repetition)
     "near_dup_with_containment", "line_dedup", "decontaminate",
     "repetition_score", "vocab_topk", "url_normalize", "ann_ivf",
+    "snapshot_diff",
     # -- recorded in round 1 only (green there) ---------------------------
     "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",

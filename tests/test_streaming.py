@@ -83,6 +83,31 @@ def test_ingest_rate_windows(spark, tmp_path, pages_pdf):
     assert total and 0 < total <= len(pages_pdf)
 
 
+def test_session_rate_windows(spark, tmp_path, pages_pdf):
+    """J3 session-window variant: captures 137 s apart with a 1-minute
+    gap each form their own session; with the 1-hour watermark and an
+    ~11-hour event span, most sessions close and are emitted in append
+    mode. Totals stay bounded by the input."""
+    from dedup.streaming import session_rate
+
+    staging = str(tmp_path / "staging_sess")
+    _write_batch(spark, pages_pdf, staging, "b0")
+    q = (
+        session_rate(read_page_stream(spark, staging), gap="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessrate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT sum(n_pages) s, count(*) c FROM sessrate"
+    ).collect()[0]
+    assert rows.s and 0 < rows.s <= len(pages_pdf)
+    assert rows.c > 10  # the 1-minute gap really splits sessions
+
+
 def test_incremental_equals_oneshot(spark, tmp_path, pages_pdf):
     """3 microbatches through process_batch ≡ one batch run (same final
     cluster assignment), including cross-batch near-dup pairs.
