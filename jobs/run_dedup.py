@@ -95,7 +95,8 @@ class Runner:
         return out
 
 
-def run(spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame) -> Runner:
+def run(spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame,
+        use_containment: bool = False) -> Runner:
     r = Runner(spark, tio, cfg, run_id)
 
     docs = r.stage("docs", lambda: to_docs(pages, cfg), sort_within=["doc_id"])
@@ -123,13 +124,28 @@ def run(spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame) ->
         # est survivors inside verify_jaccard_lazy) decides every edge
         cands = est_filter_pairs(cands, sigs, cfg).dropDuplicates(["src", "dst"])
         near = verify_jaccard_lazy(cands, docs, cfg, signatures=sigs)
-        return exact_edges(docs).unionByName(near).dropDuplicates(["src", "dst"])
+        e = exact_edges(docs).unionByName(near)
+        if use_containment:
+            # E5 at-scale surface (--use-containment): candidates that
+            # FAILED the near-Jaccard verify get the suffix-array
+            # longest-common-substring check → 'substr' edges (same
+            # composition as pipeline.build_edges)
+            from dedup.verify import verify_containment
+
+            sub = verify_containment(
+                cands.join(near.select("src", "dst"), ["src", "dst"], "left_anti"),
+                docs,
+                cfg,
+            )
+            e = e.unionByName(sub)
+        return e.dropDuplicates(["src", "dst"])
 
     edges = r.stage("edges", mk_edges, sort_within=["src", "dst"])
+    kinds = ("exact", "near", "substr") if use_containment else ("exact", "near")
 
     def mk_clusters():
         comp = connected_components(
-            edges.filter(F.col("kind").isin("exact", "near")),
+            edges.filter(F.col("kind").isin(*kinds)),
             max_iter=cfg.max_cc_iter,
         )
         return assign_clusters(docs, comp).select("doc_id", "url", "cluster_id")
@@ -153,6 +169,12 @@ def main(argv=None) -> None:
     ap.add_argument("--warehouse", required=True, help="TableIO root directory")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--config", help="JSON file with DedupConfig overrides")
+    ap.add_argument(
+        "--use-containment",
+        action="store_true",
+        help="also emit suffix-array 'substr' containment edges (E5) and "
+        "include them in clustering",
+    )
     args = ap.parse_args(argv)
 
     cfg = DEFAULT_CONFIG
@@ -165,7 +187,8 @@ def main(argv=None) -> None:
     spark = get_spark(app_name=f"dedup-{args.run_id}")
     tio = TableIO(spark, args.warehouse)
     pages = load_pages(spark, args.input, args.input_kind)
-    r = run(spark, tio, cfg, args.run_id, pages)
+    r = run(spark, tio, cfg, args.run_id, pages,
+            use_containment=args.use_containment)
     print(json.dumps({"run_id": args.run_id, "ran": r.ran, "skipped": r.skipped}))
 
 

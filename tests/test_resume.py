@@ -112,3 +112,28 @@ def test_staged_run_resumes_and_matches(spark, tiny_pages_df, tmp_path):
         r.stage for r in tio_a.read("lineage").select("stage").distinct().collect()
     }
     assert {"docs", "signatures", "edges", "clusters", "report"} <= stages_a
+
+
+def test_staged_run_with_containment(spark, tmp_path):
+    """--use-containment through the spark-submit entry: the committed
+    edges table carries 'substr' edges (gen_pages containment slots +
+    HIGH_RECALL banding guarantee the path fires) and those edges
+    participate in clustering."""
+    from pyspark.sql import functions as F
+
+    from dedup.datagen import gen_pages
+    from jobs.run_dedup import run
+
+    cfg = DEFAULT_CONFIG.with_(bands=32, rows_per_band=4, substr_min_len=40)
+    pages = gen_pages(spark, 300, seed=42, partitions=8)
+    tio = TableIO(spark, str(tmp_path / "whC"), backend="parquet")
+    r = run(spark, tio, cfg, "runC", pages, use_containment=True)
+    assert "edges" in r.ran
+    edges = tio.read("edges")
+    sub = edges.filter(F.col("kind") == "substr")
+    n_sub = sub.count()
+    assert n_sub > 0, "containment path emitted no substr edges"
+    # substr endpoints really co-cluster
+    cl = {r.doc_id: r.cluster_id for r in tio.read("clusters").collect()}
+    for row in sub.limit(5).collect():
+        assert cl[row.src] == cl[row.dst]
