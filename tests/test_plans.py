@@ -90,6 +90,28 @@ def test_whole_stage_codegen_and_partial_agg(spark):
     assert "WholeStageCodegen" in buf.getvalue()
 
 
+def test_trusted_text_scan_prunes_html(spark, tiny_pages_df, tmp_path):
+    """The split-scan ingest optimization, pinned: on a trusted-text
+    corpus the trusted branch's parquet ReadSchema must NOT contain
+    `html` (~half the table bytes), and the null-text branch must push
+    `text IS NULL` to the reader. A single-scan when() formulation
+    would silently regress to reading html for every row."""
+    from dedup.config import DEFAULT_CONFIG as cfg
+    from dedup.ingest import to_docs_arrow
+
+    src = str(tmp_path / "pages_pq")
+    tiny_pages_df.limit(200).write.mode("overwrite").parquet(src)
+    pages = spark.read.parquet(src)
+    plan = _explain_formatted(to_docs_arrow(pages, cfg, keep_text=False))
+    scans = plan.split("ReadSchema")[1:]
+    assert len(scans) >= 2, "expected the two-branch split scan"
+    trusted = [s[:300] for s in scans if "html" not in s[:300]]
+    assert trusted, "no scan branch prunes html from ReadSchema"
+    assert "IsNull(text)" in plan or "isnull(text)" in plan.lower(), (
+        "text IS NULL not pushed to the null-fill branch's reader"
+    )
+
+
 def test_no_per_row_python_anywhere_in_harness():
     """BASELINE.json:15 sweep: no registered harness query may plan a
     row-at-a-time BatchEvalPython node; Python only ever appears as
