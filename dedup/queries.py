@@ -1129,6 +1129,53 @@ def q_url_normalize(spark, sf_dir):
     )
 
 
+#: the full curation decision as one query: the three signal CTEs are
+#: the EXACT oracle texts of their standalone qkeys (quality_score,
+#: repetition_score, decontaminate), so this composition can never
+#: drift from its parts
+_CURATE_SQL = f"""
+WITH qq AS ({_QUALITY_SQL}),
+rr AS ({_REPETITION_SQL}),
+cc AS ({_DECONTAMINATE_SQL})
+SELECT qq.doc_id, qq.quality, rr.n_ngrams, rr.n_distinct_ngrams, cc.n_hits,
+       (qq.quality >= 2.0 AND rr.n_ngrams > 0
+        AND 2 * rr.n_distinct_ngrams >= rr.n_ngrams
+        AND cc.n_hits = 0) AS kept
+FROM qq JOIN rr USING (doc_id) JOIN cc USING (doc_id)
+"""
+
+
+@register("curate", _CURATE_SQL)
+def q_curate(spark, sf_dir):
+    """The end-to-end curation decision a training-data pipeline makes
+    per document: quality score ≥ 2.0, non-degenerate length, bigram
+    repetition ≤ 50%, zero benchmark n-gram hits. Composes the three
+    standalone signal queries (so Spark and oracle compositions share
+    their parts verbatim); all predicates compare rounded-once doubles
+    or exact BIGINTs — no fresh tie surface. At scale this is three
+    scans fused by Catalyst over one doc_id join key."""
+    q = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    r = q_repetition_score(spark, sf_dir)
+    c = q_decontaminate(spark, sf_dir).select("doc_id", "n_hits")
+    return (
+        q.join(r, "doc_id")
+        .join(c, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "n_ngrams",
+            "n_distinct_ngrams",
+            "n_hits",
+            (
+                (F.col("quality") >= 2.0)
+                & (F.col("n_ngrams") > 0)
+                & (2 * F.col("n_distinct_ngrams") >= F.col("n_ngrams"))
+                & (F.col("n_hits") == 0)
+            ).alias("kept"),
+        )
+    )
+
+
 @register("line_dedup", _LINE_DEDUP_SQL)
 def q_line_dedup(spark, sf_dir):
     """CCNet-style boilerplate-line removal over deterministic 10-token
@@ -1577,7 +1624,7 @@ _PRIORITY = [
     # corpus-hygiene extras (line dedup, decontamination, repetition)
     "near_dup_with_containment", "line_dedup", "decontaminate",
     "repetition_score", "vocab_topk", "url_normalize", "ann_ivf",
-    "snapshot_diff",
+    "snapshot_diff", "curate",
     # -- recorded in round 1 only (green there) ---------------------------
     "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
