@@ -30,7 +30,12 @@ from dataclasses import asdict, dataclass, replace
 @dataclass(frozen=True)
 class DedupConfig:
     # --- shingling ---
-    shingle_mode: str = "char"  # char k-grams over normalized text
+    # Pinned to char k-grams over normalized text — every oracle,
+    # recall gate, and est-floor model assumes exactly this. Word
+    # w-gram shingling exists as a standalone operator surface
+    # (signatures.word_shingles_expr, qkey `shingle_words`), not a
+    # pipeline mode: a half-wired mode knob the kernels ignore would be
+    # worse than no knob.
     k: int = 5                  # shingle width (chars)
     # shingle hash fn: Spark SQL xxhash64 (XXH64 over utf8 bytes, seed=42,
     # Spark's default seed). The oracle recomputes Jaccard over raw

@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dedup.config import DEFAULT_CONFIG, HIGH_RECALL_CONFIG
-from dedup.signatures import shingles_expr, with_bands, with_shingles, with_signatures
+from dedup.signatures import (
+    shingles_expr,
+    with_bands,
+    with_shingles,
+    with_signatures,
+    word_shingles_expr,
+)
 from dedup.simsearch import brute_force_pairs, cosine_expr, lsh_pairs, topk_neighbors
 from dedup.text import normalize_text
 from dedup.textstats import (
@@ -324,6 +330,28 @@ def q_shingle(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(shingles_expr("norm_text", DEFAULT_CONFIG.k)).cast("long").alias("n_shingles"),
+    )
+
+
+@register(
+    "shingle_words",
+    f"WITH t AS (SELECT doc_id, list_filter(string_split({NORM_SQL}, ' '),"
+    " x -> x <> '') AS toks FROM documents)"
+    " SELECT doc_id, CASE WHEN len(toks) >= 3 THEN"
+    " len(list_distinct([array_to_string(toks[i:i+2], ' ')"
+    " for i in generate_series(1, len(toks) - 2)]))::BIGINT"
+    " ELSE 1 END AS n_word_shingles FROM t",
+)
+def q_shingle_words(spark, sf_dir):
+    """C1's word-w-gram alternative as a real operator: distinct hashed
+    word 3-grams; distinct-hash count equals distinct-string count
+    modulo 64-bit collisions (same argument as the char qkey)."""
+    d = docs_norm(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(word_shingles_expr("norm_text", 3))
+        .cast("long")
+        .alias("n_word_shingles"),
     )
 
 
@@ -1624,7 +1652,7 @@ _PRIORITY = [
     # corpus-hygiene extras (line dedup, decontamination, repetition)
     "near_dup_with_containment", "line_dedup", "decontaminate",
     "repetition_score", "vocab_topk", "url_normalize", "ann_ivf",
-    "snapshot_diff", "curate",
+    "snapshot_diff", "curate", "shingle_words",
     # -- recorded in round 1 only (green there) ---------------------------
     "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",

@@ -62,6 +62,29 @@ def with_shingles(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     ).withColumn("n_shingles", F.size("shingles"))
 
 
+def word_shingles_expr(text_col: str | F.Column, w: int = 3) -> F.Column:
+    """Distinct hashed word w-gram shingles as array<long> — the
+    word-granularity alternative to the pinned char k-grams (SURVEY §2
+    C1 "or word w-gram"). Tokens are whitespace splits with empties
+    removed; a text with fewer than w tokens yields the single hash of
+    the whole text (same short-doc rule shape as ``shingles_expr``).
+    Pure SQL; the output array feeds ``with_signatures`` unchanged
+    (MinHash is agnostic to what the 64-bit hashes shingle). The
+    PIPELINE stays char-mode — its Arrow kernels, est floors, and
+    oracles are pinned to char semantics (config.py)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_remove(F.split(c, " "), "")
+    n = F.size(toks)
+    grams = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, w), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(c)))
+    return F.array_distinct(grams)
+
+
 def with_signatures(shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
     """shingles → signatures frame (schema.SIGNATURES).
 
