@@ -114,6 +114,67 @@ def test_staged_run_resumes_and_matches(spark, tiny_pages_df, tmp_path):
     assert {"docs", "signatures", "edges", "clusters", "report"} <= stages_a
 
 
+def test_iceberg_backend_dispatch(spark, tmp_path):
+    """The sandbox has no Iceberg runtime jar, so the iceberg backend
+    cannot round-trip real data here — but its DISPATCH layer is still
+    testable: write() must route to df.writeTo(t).append() /
+    .createOrReplace() by mode, and read() must use the iceberg format
+    with snapshot-id time travel. Stub objects record the calls; the
+    real-jar path differs only in what the JVM does with them."""
+
+    class WriterStub:
+        def __init__(self, log, table):
+            self.log, self.table = log, table
+
+        def append(self):
+            self.log.append(("append", self.table))
+
+        def createOrReplace(self):
+            self.log.append(("createOrReplace", self.table))
+
+    class DFStub:
+        def __init__(self, log):
+            self.log = log
+
+        def writeTo(self, table):
+            return WriterStub(self.log, table)
+
+    class ReaderStub:
+        def __init__(self, log):
+            self.log, self.opts = log, {}
+
+        def format(self, fmt):
+            self.log.append(("format", fmt))
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self, table):
+            self.log.append(("load", table, dict(self.opts)))
+            return "df"
+
+    class SparkStub:
+        def __init__(self, log):
+            self._log = log
+
+        @property
+        def read(self):
+            return ReaderStub(self._log)
+
+    log = []
+    tio = TableIO(SparkStub(log), str(tmp_path / "wh_ice"), backend="iceberg")
+    tio.write(DFStub(log), "db.t", mode="append")
+    tio.write(DFStub(log), "db.t", mode="overwrite")
+    assert ("append", "db.t") in log and ("createOrReplace", "db.t") in log
+    assert tio.read("db.t", snapshot_id=7) == "df"
+    fmt = [e for e in log if e[0] == "format"]
+    loads = [e for e in log if e[0] == "load"]
+    assert fmt == [("format", "iceberg")]
+    assert loads == [("load", "db.t", {"snapshot-id": "7"})]
+
+
 def test_staged_run_with_containment(spark, tmp_path):
     """--use-containment through the spark-submit entry: the committed
     edges table carries 'substr' edges (gen_pages containment slots +
