@@ -190,7 +190,10 @@ def assign_clusters(docs: DataFrame, components: DataFrame) -> DataFrame:
 
 
 def incremental_components(
-    new_edges: DataFrame, prev_clusters: DataFrame | None, max_iter: int = 25
+    new_edges: DataFrame,
+    prev_clusters: DataFrame | None,
+    max_iter: int = 25,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Batch-proportional component maintenance (streaming J4, round-2
     verdict item 4): CONTRACT the new edges through the previous cluster
@@ -208,28 +211,32 @@ def incremental_components(
     Shuffle discipline: the corpus-sized ``prev_clusters`` never crosses
     an exchange — it is first left-semi-joined against the broadcast
     (batch-sized) endpoint set, and the resulting batch-sized label
-    slice is broadcast into the two endpoint-mapping joins."""
+    slice is broadcast into the two endpoint-mapping joins.
+    ``hint_broadcast=False`` drops every explicit hint (a backlog-sized
+    batch would otherwise force an unbounded driver-side broadcast
+    build) and lets AQE pick the join strategy from runtime sizes."""
     if prev_clusters is None:
         return connected_components(new_edges, max_iter=max_iter)
+    hb = F.broadcast if hint_broadcast else (lambda df: df)
     ends = (
         new_edges.select(F.col("src").alias("doc_id"))
         .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
         .distinct()
     )
     lab = prev_clusters.select("doc_id", "cluster_id").join(
-        F.broadcast(ends), "doc_id", "left_semi"
+        hb(ends), "doc_id", "left_semi"
     )
     contracted = (
         new_edges.select("src", "dst")
         .join(
-            F.broadcast(
+            hb(
                 lab.select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("src_lab"))
             ),
             "src",
             "left",
         )
         .join(
-            F.broadcast(
+            hb(
                 lab.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("dst_lab"))
             ),
             "dst",

@@ -342,10 +342,16 @@ def run_dedup(
     probe_out: dict = {}
 
     def _probe() -> None:
-        with job_desc(spark, "dedup: url-uniqueness probe"):
-            probe_out["cnt"] = pages.agg(
-                F.count("*").alias("n"), F.count_distinct("url").alias("u")
-            ).first()
+        try:
+            with job_desc(spark, "dedup: url-uniqueness probe"):
+                probe_out["cnt"] = pages.agg(
+                    F.count("*").alias("n"), F.count_distinct("url").alias("u")
+                ).first()
+        except BaseException as exc:  # noqa: BLE001 — re-raised on the caller
+            # a daemon-thread exception would otherwise vanish and
+            # surface as a bare KeyError('cnt') masking the real Spark
+            # failure; carry it across the join instead
+            probe_out["err"] = exc
 
     # `text` is never read past ingest (similarity runs on norm_text;
     # reporting on ids/metadata) — keeping it out of the persisted
@@ -382,11 +388,26 @@ def run_dedup(
             "docs",
         )
         t.join()
+        if "err" in probe_out:
+            raise RuntimeError("url-uniqueness probe failed") from probe_out["err"]
         cnt = probe_out["cnt"]
         if cnt["n"] != cnt["u"]:
             from dedup.ingest import latest_docs_by_url
 
+            pre_dir = getattr(docs, "_dedup_spill_dir", None)
             docs = _spill(latest_docs_by_url(docs), "docs")
+            # the collapsed spill fully materialized above — free the
+            # superseded all-captures spill now instead of at process
+            # exit (on a heavily multi-captured crawl it would roughly
+            # double the docs footprint on the RAM-backed scratch for
+            # the rest of the run; CLAUDE.md documents that budget as
+            # already marginal at 2M local docs)
+            if pre_dir:
+                import shutil
+
+                shutil.rmtree(pre_dir, ignore_errors=True)
+                if pre_dir in _SPILL_DIRS:
+                    _SPILL_DIRS.remove(pre_dir)
         else:
             docs = docs.drop("_tb")
     else:

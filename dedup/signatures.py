@@ -71,18 +71,18 @@ def word_shingles_expr(text_col: str | F.Column, w: int = 3) -> F.Column:
     Pure SQL; the output array feeds ``with_signatures`` unchanged
     (MinHash is agnostic to what the 64-bit hashes shingle). The
     PIPELINE stays char-mode — its Arrow kernels, est floors, and
-    oracles are pinned to char semantics (config.py)."""
+    oracles are pinned to char semantics (config.py).
+
+    The gram construction is ``corpus.word_ngrams_expr`` — one shared
+    builder, so this and the oracle-twinned hygiene ops cannot drift."""
+    from dedup.corpus import word_ngrams_expr
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.array_remove(F.split(c, " "), "")
-    n = F.size(toks)
-    grams = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - (w - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, w), " ")),
-        ),
+    grams = word_ngrams_expr(c, w)
+    return F.when(
+        F.size(grams) > 0,
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))),
     ).otherwise(F.array(F.xxhash64(c)))
-    return F.array_distinct(grams)
 
 
 def with_signatures(shingles: DataFrame, cfg: DedupConfig) -> DataFrame:

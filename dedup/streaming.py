@@ -33,6 +33,17 @@ from dedup.tableio import TableIO
 from dedup.verify import verify_jaccard
 
 
+#: broadcast the batch-side probe only below this many exploded band
+#: rows (~32 B/row → ≤ ~160 MB broadcast); a backlog-sized availableNow
+#: batch falls back to the shuffle join instead of an unbounded
+#: driver-side broadcast build
+PROBE_BROADCAST_MAX_ROWS = 5_000_000
+
+#: broadcast the CC contraction frames (edge-endpoint label slice,
+#: relabel map, component output) only below this many batch edges
+CC_BROADCAST_MAX_EDGES = 2_000_000
+
+
 # -- J1: file-source stream ---------------------------------------------------
 
 
@@ -119,7 +130,8 @@ def process_batch(
     batch-proportional (asserted by tests/test_streaming.py):
     ``banded_rows`` (band explode input), ``cc_edges`` (CC input)."""
     batch_docs = to_docs(batch, cfg)
-    if tio.exists("docs"):
+    have_docs = tio.exists("docs")
+    if have_docs:
         seen = tio.read("docs").select("url")
         batch_docs = batch_docs.join(seen, "url", "left_anti")
     batch_docs = batch_docs.persist()
@@ -128,12 +140,38 @@ def process_batch(
         batch_docs.unpersist()
         return {"new_docs": 0, "new_edges": 0, "banded_rows": 0, "cc_edges": 0}
 
+    # One-time backfill: a warehouse whose docs/signatures predate the
+    # bands/chunks tables (legacy layout, or a crash between the
+    # signatures append and the explode-table appends) rebuilds them
+    # from the committed signatures ONCE — overwrite, so a partial
+    # earlier attempt cannot leave duplicates — keeping every later
+    # batch batch-proportional instead of silently probing nothing.
+    if have_docs and tio.exists("signatures"):
+        if not tio.exists("bands"):
+            tio.write(with_bands(tio.read("signatures"), cfg), "bands",
+                      mode="overwrite")
+        if not tio.exists("chunks"):
+            tio.write(simhash_chunks(tio.read("signatures"), cfg), "chunks",
+                      mode="overwrite")
+
     new_sh = with_shingles(representatives(batch_docs, cfg), cfg).persist()
     new_sh.count()
-    new_sigs = with_signatures(new_sh, cfg).persist()
+    # signatures carry an array<long>(num_perm) column — parquet
+    # round-trip materialization, NOT .persist(): the columnar in-memory
+    # cache is pathological for array columns and a lazy frame would be
+    # recomputed by all four consumer branches below (CLAUDE.md)
+    from dedup.pipeline import _spill
+
+    new_sigs = _spill(with_signatures(new_sh, cfg), "stream-sigs")
     new_bands = with_bands(new_sigs, cfg)
     new_chunks = simhash_chunks(new_sigs, cfg)
 
+    # broadcast the batch-sized probe side only while it is actually
+    # small: one availableNow trigger can ingest a whole backlog as a
+    # single microbatch, and an ungated broadcast of millions of band
+    # rows hits the driver/broadcast limits (same counted-gate
+    # discipline as verify.BROADCAST_SIGS_MAX)
+    bcast = n_new * cfg.bands <= PROBE_BROADCAST_MAX_ROWS
     have_committed = tio.exists("bands")
     all_bands = (
         tio.read("bands").unionByName(new_bands) if have_committed else new_bands
@@ -142,8 +180,12 @@ def process_batch(
         tio.read("chunks").unionByName(new_chunks) if have_committed else new_chunks
     )
     touch_new = (
-        lsh_candidates_probe(new_bands, all_bands, cfg)
-        .union(simhash_candidates_probe(new_chunks, all_chunks, cfg))
+        lsh_candidates_probe(new_bands, all_bands, cfg, broadcast_probe=bcast)
+        .union(
+            simhash_candidates_probe(
+                new_chunks, all_chunks, cfg, broadcast_probe=bcast
+            )
+        )
         .dropDuplicates(["src", "dst"])
     )
 
@@ -169,8 +211,9 @@ def process_batch(
     # batch side), instead of re-grouping the whole corpus by sha
     exact_touch = exact_edges(batch_docs)
     if old_docs is not None:
+        batch_sha = batch_docs.select(F.col("doc_id").alias("src"), "content_sha")
         cross = (
-            F.broadcast(batch_docs.select(F.col("doc_id").alias("src"), "content_sha"))
+            (F.broadcast(batch_sha) if bcast else batch_sha)
             .join(
                 old_docs.select(F.col("doc_id").alias("dst"), "content_sha"),
                 "content_sha",
@@ -187,7 +230,16 @@ def process_batch(
     new_edges = exact_touch.unionByName(near).dropDuplicates(["src", "dst"]).persist()
     n_edges = new_edges.count()
 
-    tio.write(batch_docs, "docs", mode="append")
+    # COMMIT ORDER is the crash-consistency protocol (foreachBatch is
+    # at-least-once; TableIO appends are per-table atomic but there is
+    # no cross-table transaction): the derived logs first, the docs
+    # table LAST — docs is what the url anti-join consults, so a retry
+    # after any partial commit re-runs the whole batch. A re-run can
+    # only duplicate APPEND rows in signatures/bands/chunks/edges, and
+    # every consumer of those is duplicate-tolerant (probe pairs go
+    # through dropDuplicates; the edge log is an audit log whose readers
+    # dedupe on (src,dst)); clusters is an overwrite (idempotent, and
+    # made retry-safe against an already-updated prev below).
     tio.write(new_sigs, "signatures", mode="append")
     tio.write(new_bands, "bands", mode="append")
     tio.write(new_chunks, "chunks", mode="append")
@@ -196,27 +248,47 @@ def process_batch(
     # clusters: contract new edges through the committed labels, run CC
     # on the contracted (batch-sized) graph, then relabel by broadcast
     # map; cluster_id stays the stable min-doc_id label by the
-    # supernode-label invariant (see incremental_components)
-    prev = tio.read("clusters") if tio.exists("clusters") else None
+    # supernode-label invariant (see incremental_components). Retry
+    # hygiene: if a prior attempt already committed clusters (crash
+    # before the docs append), `prev` ALREADY contains this batch's
+    # rows — batch docs are excluded from both the label lookup (they
+    # must re-enter contraction as fresh nodes) and the old_rows side
+    # (new_rows re-emits them), so the overwrite converges to the same
+    # content instead of duplicating rows. Broadcast hints follow the
+    # counted n_edges gate — a backlog-sized batch falls back to
+    # shuffle joins rather than an unbounded driver build.
+    batch_ids = batch_docs.select("doc_id")
+    prev_all = tio.read("clusters") if tio.exists("clusters") else None
+    bcast_cc = n_edges <= CC_BROADCAST_MAX_EDGES
+    prev = (
+        prev_all.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        if prev_all is not None
+        else None
+    )
     keep = new_edges.filter(F.col("kind").isin("exact", "near"))
-    comp = incremental_components(keep, prev, max_iter=cfg.max_cc_iter).persist()
+    comp = incremental_components(
+        keep, prev, max_iter=cfg.max_cc_iter, hint_broadcast=bcast_cc
+    ).persist()
     comp.count()  # eager: both relabel branches of the clusters write read it
     new_rows = (
         batch_docs.select("doc_id", "url")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(comp) if bcast_cc else comp, "doc_id", "left")
         .select("doc_id", "url", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )
     if prev is not None:
         relabel = comp.select(
             F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_new_lab")
         )
-        old_rows = prev.join(F.broadcast(relabel), "cluster_id", "left").select(
+        old_rows = prev.join(
+            F.broadcast(relabel) if bcast_cc else relabel, "cluster_id", "left"
+        ).select(
             "doc_id", "url", F.coalesce("_new_lab", "cluster_id").alias("cluster_id")
         )
         clusters = old_rows.unionByName(new_rows)
     else:
         clusters = new_rows
     tio.write(clusters, "clusters", mode="overwrite")
+    tio.write(batch_docs, "docs", mode="append")  # the batch-done marker
 
     stats = {
         "new_docs": n_new,
@@ -226,7 +298,6 @@ def process_batch(
     }
     comp.unpersist()
     new_edges.unpersist()
-    new_sigs.unpersist()
     new_sh.unpersist()
     batch_docs.unpersist()
     return stats
