@@ -211,6 +211,63 @@ def test_incremental_merges_two_committed_clusters(spark, tmp_path):
     assert cl["u://a1"] == builtins.min(merged_ids)
 
 
+@pytest.mark.parametrize("fail_on", ["clusters", "docs"])
+def test_process_batch_retry_after_partial_commit(
+    spark, tmp_path, pages_pdf, fail_on
+):
+    """The commit-order crash-consistency protocol, fault-injected:
+    batch 2's write to `fail_on` raises AFTER every earlier table in
+    the commit sequence has landed (fail_on='clusters' = derived logs
+    committed; fail_on='docs' = clusters ALREADY overwritten — the
+    subtlest window, where the retry sees its own batch in prev). The
+    straight retry plus a further batch must converge to exactly the
+    one-shot clustering despite the duplicate log appends the retry
+    produces."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    class FailingTIO(TableIO):
+        def __init__(self, *a, fail_table, **k):
+            super().__init__(*a, **k)
+            self.fail_table = fail_table
+            self.armed = True
+
+        def write(self, df, table, mode="append", sort_within=None):
+            if self.armed and table == self.fail_table:
+                self.armed = False
+                raise RuntimeError(f"injected crash at {table} commit")
+            return super().write(df, table, mode=mode, sort_within=sort_within)
+
+    cfg = DEFAULT_CONFIG
+    wh = str(tmp_path / f"wh_retry_{fail_on}")
+    tio = TableIO(spark, wh, backend="parquet")
+
+    def batch(lo, hi):
+        return spark.createDataFrame(pages_pdf.iloc[lo:hi], schema=PAGES)
+
+    process_batch(spark, tio, cfg, batch(0, 130))
+    ft = FailingTIO(spark, wh, backend="parquet", fail_table=fail_on)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        process_batch(spark, ft, cfg, batch(130, 230))
+    s_retry = process_batch(spark, tio, cfg, batch(130, 230))  # the retry
+    assert s_retry["new_docs"] == 100  # docs never landed → full re-run
+    process_batch(spark, tio, cfg, batch(230, 300))
+
+    inc = {
+        (r.url, r.cluster_id)
+        for r in tio.read("clusters").select("url", "cluster_id").collect()
+    }
+    assert len(inc) == 300  # no duplicate/missing cluster rows
+
+    from dedup.pipeline import run_dedup
+
+    res = run_dedup(spark.createDataFrame(pages_pdf, schema=PAGES), cfg)
+    one = {
+        (r.url, r.cluster_id)
+        for r in res.clusters.select("url", "cluster_id").collect()
+    }
+    assert inc == one
+
+
 def test_incremental_batch_proportional_work(spark, tmp_path, pages_pdf):
     """Round-2 verdict item 4: per-batch band/chunk explode and CC input
     must scale with the BATCH, not the corpus. A large first batch (250
