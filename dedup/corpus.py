@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 
 from dedup.textstats import tokens_expr
 
+#: broadcast the boilerplate-line set into the anti-join only below this
+#: many distinct lines (~100 B/line → ≤ ~200 MB build). At CCNet's
+#: max_df=1 on a real web corpus "boilerplate" = every line occurring in
+#: ≥2 docs — a corpus-scale set — so the hint must be counted-gated like
+#: every other broadcast in this repo (verify.BROADCAST_SIGS_MAX,
+#: streaming.PROBE_BROADCAST_MAX_ROWS), never unconditional.
+BOILER_BROADCAST_MAX = 2_000_000
+
 
 def _clean_tokens(col: str | Column) -> Column:
     """Whitespace tokens with empties removed (edge/double spaces)."""
@@ -72,27 +80,63 @@ def chunk_lines_expr(col: str | Column, width: int = 10) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _pct_upper(s: Column) -> Column:
+    """Uppercase the hex digits of every %xx percent-escape (RFC 3986
+    §6.2.2.1: %2f and %2F are the same octet; the canonical form is
+    uppercase). Pure SQL: split on '%', uppercase the 2-char hex head
+    of each following piece, rejoin — a piece not starting with two hex
+    digits (malformed escape) is re-emitted unchanged. Idempotent."""
+    parts = F.split(s, "%")
+    tail = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda p: F.when(
+            p.rlike("^[0-9a-fA-F]{2}"),
+            F.concat(F.upper(p.substr(F.lit(1), F.lit(2))), p.substr(F.lit(3), F.length(p))),
+        ).otherwise(p),
+    )
+    return F.when(
+        F.size(parts) > 1,
+        F.concat(F.element_at(parts, 1), F.lit("%"), F.array_join(tail, "%")),
+    ).otherwise(s)
+
+
 def canonical_url_expr(col: str | Column) -> Column:
     """Crawl-frontier URL canonicalization, pure SQL: lowercase scheme
-    and host, drop the fragment, drop protocol-default ports (http:80,
-    https:443), strip trailing slashes from the path, sort query
-    parameters. Two captures of the same resource then compare equal on
-    the canonical string — the key for exact-URL dedup / frontier
-    seen-sets at crawl scale (a 100 TB frontier dedup is a groupBy on
-    this expression; everything here is whole-stage codegen)."""
+    and host, preserve (non-empty) userinfo verbatim — credentials are
+    case-sensitive, but an empty ``user@``-less marker is dropped — drop
+    the fragment, drop protocol-default ports (http:80, https:443),
+    strip trailing slashes from the path, uppercase percent-escape hex
+    (%2f → %2F, RFC 3986 canonical form) in path and query, sort query
+    parameters (after escape normalization, so the sort key is the
+    canonical byte form). Two captures of the same resource then compare
+    equal on the canonical string — the key for exact-URL dedup /
+    frontier seen-sets at crawl scale (a 100 TB frontier dedup is a
+    groupBy on this expression; everything here is whole-stage
+    codegen).
+
+    Malformed URLs (Spark 4's parse_url THROWS on e.g. an invalid
+    percent-escape) canonicalize to NULL via ``try_parse_url`` — on a
+    real crawl one broken URL must never fail a 100 TB job; callers
+    coalesce to the raw string or filter as policy dictates."""
     c = F.col(col) if isinstance(col, str) else col
-    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(c, F.lit("HOST")))
-    auth = F.parse_url(c, F.lit("AUTHORITY"))
+    proto = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    userinfo = F.try_parse_url(c, F.lit("USERINFO"))
+    ui = F.when(
+        userinfo.isNotNull() & (userinfo != ""), F.concat(userinfo, F.lit("@"))
+    ).otherwise(F.lit(""))
+    auth = F.try_parse_url(c, F.lit("AUTHORITY"))
     port = F.regexp_extract(auth, ":(\\d+)$", 1)
     keep_port = (port != "") & ~(
         ((proto == "http") & (port == "80"))
         | ((proto == "https") & (port == "443"))
     )
-    path = F.regexp_replace(
-        F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")), "/+$", ""
+    path = _pct_upper(
+        F.regexp_replace(
+            F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit("")), "/+$", ""
+        )
     )
-    query = F.parse_url(c, F.lit("QUERY"))
+    query = _pct_upper(F.try_parse_url(c, F.lit("QUERY")))
     qsorted = F.when(
         query.isNotNull() & (query != ""),
         F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
@@ -100,6 +144,7 @@ def canonical_url_expr(col: str | Column) -> Column:
     return F.concat(
         proto,
         F.lit("://"),
+        ui,
         host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         path,
@@ -115,11 +160,15 @@ def token_vocab(
     by count desc, then token asc — a total order, so the LIMIT
     boundary is engine-independent).
 
-    Scale shape: one hash aggregate over the exploded tokens (map-side
-    partial combine collapses each task's token stream to its local
-    vocabulary before the shuffle — the shuffle carries ~|vocab| rows
-    per task, not |tokens|), then Spark fuses orderBy+limit into
-    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    Scale shape: ``count_distinct`` in the same agg makes Catalyst plan
+    the distinct-aggregate expansion — the map side partially combines
+    each task's stream down to its DISTINCT (tok, doc_id) pairs (plus a
+    per-task partial for the plain count), so the shuffle carries the
+    per-task distinct pair set: bounded by the token stream and far
+    smaller than |tokens|, but larger than |vocab| (the standard
+    distinct-agg shape; a plan test pins it). The final orderBy+limit
+    fuses into TakeOrderedAndProject (per-partition top-k, no global
+    sort)."""
     toks = docs.select(id_col, F.explode(_clean_tokens(text_col)).alias("tok"))
     counts = toks.groupBy("tok").agg(
         F.count("*").cast("long").alias("n_occurrences"),
@@ -133,30 +182,48 @@ def remove_common_lines(
     line_col: str = "lines",
     id_col: str = "doc_id",
     max_df: int = 1,
+    max_df_frac: float | None = None,
+    broadcast_boiler: bool | None = None,
 ) -> DataFrame:
     """CCNet-style boilerplate-line removal: a line occurring in more
     than ``max_df`` DISTINCT documents is boilerplate; every document is
     rebuilt from its surviving lines in original order.
+    ``max_df_frac`` (e.g. 0.001) raises the threshold to that fraction
+    of the corpus doc count — at web scale "appears in ≥2 docs" flags
+    every duplicated content line, not just true boilerplate, so the
+    absolute default is a small-corpus setting.
 
     Returns (id, n_lines, n_kept, clean_text) for EVERY input doc (a doc
     whose lines are all boilerplate keeps a row with n_kept = 0).
 
     Scale shape: the line-frequency aggregation is a hash aggregate with
     map-side partial combine over the exploded lines; the boilerplate
-    set (lines above the threshold — tiny by definition of boilerplate)
-    is broadcast into the anti-join, so the explode stream never
-    shuffles twice. Order-preserving rebuild = sort the collected
+    set is COUNTED (cheap — it is the output of that aggregation, kept
+    as a deserialized cache so the count and the join share one
+    computation) and broadcast into the anti-join only under
+    ``BOILER_BROADCAST_MAX`` rows — an over-threshold set falls back to
+    the shuffle anti-join instead of an unbounded driver/executor
+    broadcast build. ``broadcast_boiler`` forces either path (skipping
+    the count). Order-preserving rebuild = sort the collected
     (ln_idx, line) structs per doc — array_sort on structs orders by
     field position, making the collect_list order-independence explicit
     (SURVEY §4.2 partitioning-independent outputs)."""
     lines = docs.select(id_col, F.posexplode(line_col).alias("ln_idx", "line"))
+    thresh = max_df
+    if max_df_frac is not None:
+        thresh = max(max_df, int(max_df_frac * docs.count()))
     boiler = (
         lines.groupBy("line")
         .agg(F.count_distinct(id_col).alias("df"))
-        .filter(F.col("df") > max_df)
+        .filter(F.col("df") > thresh)
         .select("line")
     )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    if broadcast_boiler is None:
+        boiler = boiler.persist()
+        broadcast_boiler = boiler.count() <= BOILER_BROADCAST_MAX
+    kept = lines.join(
+        F.broadcast(boiler) if broadcast_boiler else boiler, "line", "left_anti"
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_kept"),
         F.array_join(
@@ -183,6 +250,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = True,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Test-set decontamination: flag training docs sharing any word
     ``n``-gram with a benchmark corpus. Returns (id, n_hits,
@@ -195,8 +263,8 @@ def decontaminate(
     gram key. ``hash_grams`` ships xxhash64(gram) 8-byte keys instead
     of gram strings through the probe (~10× smaller broadcast; a 64-bit
     collision can only ADD a phantom hit, odds ~|grams|²/2⁶⁴). For a
-    benchmark too big to broadcast, disable the broadcast hint and let
-    the semi-join shuffle — same plan shape the LSH joins use."""
+    benchmark too big to broadcast, pass ``broadcast_bench=False`` and
+    let the semi-join shuffle — same plan shape the LSH joins use."""
     key = (
         (lambda c: F.xxhash64(c).alias("gram"))
         if hash_grams
@@ -210,9 +278,11 @@ def decontaminate(
         return e.select(id_col, key(F.col("g")))
 
     bench_grams = grams(bench).select("gram").distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
     hits = (
         grams(docs)
-        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .join(bench_grams, "gram", "left_semi")
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_hits"))
     )

@@ -412,6 +412,11 @@ def run_dedup(
             docs = docs.drop("_tb")
     else:
         _probe()
+        # same masking guard as the speculative branch: a Spark failure
+        # inside the probe must surface as the chained cause, not as a
+        # bare KeyError('cnt')
+        if "err" in probe_out:
+            raise RuntimeError("url-uniqueness probe failed") from probe_out["err"]
         cnt = probe_out["cnt"]
         docs = _spill(
             to_docs_arrow(

@@ -67,8 +67,12 @@ class Runner:
         self.ran: list[str] = []
         self.skipped: list[str] = []
 
-    def stage(self, name: str, fn, sort_within=None) -> DataFrame:
-        ch = self.cfg.config_hash()
+    def stage(self, name: str, fn, sort_within=None, extra_key: str = "") -> DataFrame:
+        # extra_key folds stage-affecting flags that live OUTSIDE
+        # DedupConfig (e.g. --use-containment) into the resume key, so
+        # re-running a run_id with a flipped flag recomputes the affected
+        # stages instead of silently reusing a stale snapshot
+        ch = self.cfg.config_hash() + extra_key
         marker = self.tio.find_stage(self.run_id, name, ch)
         if marker:
             self.skipped.append(name)
@@ -140,7 +144,8 @@ def run(spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame,
             e = e.unionByName(sub)
         return e.dropDuplicates(["src", "dst"])
 
-    edges = r.stage("edges", mk_edges, sort_within=["src", "dst"])
+    ck = "-containment" if use_containment else ""
+    edges = r.stage("edges", mk_edges, sort_within=["src", "dst"], extra_key=ck)
     kinds = ("exact", "near", "substr") if use_containment else ("exact", "near")
 
     def mk_clusters():
@@ -150,13 +155,16 @@ def run(spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame,
         )
         return assign_clusters(docs, comp).select("doc_id", "url", "cluster_id")
 
-    clusters = r.stage("clusters", mk_clusters, sort_within=["cluster_id", "doc_id"])
+    clusters = r.stage(
+        "clusters", mk_clusters, sort_within=["cluster_id", "doc_id"], extra_key=ck
+    )
 
     r.stage(
         "report",
         lambda: cluster_report(
             clusters.join(docs.select("doc_id", "warc_ts", "n_chars"), "doc_id")
         ),
+        extra_key=ck,
     )
     docs.unpersist()
     return r

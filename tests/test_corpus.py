@@ -95,6 +95,69 @@ def test_remove_common_lines_preserves_order(spark):
     assert row.clean_text == text
 
 
+def test_remove_common_lines_broadcast_gate_identical(spark):
+    # round-3 verdict item 2: the boilerplate set must be usable through
+    # BOTH join strategies — forced broadcast and forced shuffle anti-join
+    # produce identical output (the counted auto gate picks between them)
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"b{i}" for i in range(10)) + " tail one"),
+            (2, " ".join(f"b{i}" for i in range(10)) + " tail two"),
+            (3, "unique words only here now ok yes no maybe so"),
+        ],
+        "doc_id long, text string",
+    )
+    lines = df.select("doc_id", chunk_lines_expr("text", width=10).alias("lines"))
+    on = sorted(
+        tuple(r) for r in remove_common_lines(lines, broadcast_boiler=True).collect()
+    )
+    off = sorted(
+        tuple(r) for r in remove_common_lines(lines, broadcast_boiler=False).collect()
+    )
+    auto = sorted(tuple(r) for r in remove_common_lines(lines).collect())
+    assert on == off == auto
+
+
+def test_remove_common_lines_max_df_frac(spark):
+    # threshold = max(max_df, frac * n_docs): with 4 docs and frac=0.5 a
+    # line must appear in MORE than 2 docs to be boilerplate
+    shared2 = " ".join(f"s{i}" for i in range(10))  # in 2 docs -> kept
+    shared3 = " ".join(f"t{i}" for i in range(10))  # in 3 docs -> removed
+    df = spark.createDataFrame(
+        [
+            (1, shared2 + " " + shared3),
+            (2, shared2 + " " + shared3),
+            (3, shared3 + " own body of text right here words"),
+            (4, "fully unique document body of words"),
+        ],
+        "doc_id long, text string",
+    )
+    lines = df.select("doc_id", chunk_lines_expr("text", width=10).alias("lines"))
+    out = {
+        r.doc_id: r
+        for r in remove_common_lines(lines, max_df=1, max_df_frac=0.5).collect()
+    }
+    assert out[1].clean_text == shared2
+    assert out[2].clean_text == shared2
+    assert out[3].n_kept == 1 and shared3 not in out[3].clean_text
+
+
+def test_decontaminate_broadcast_flag_identical(spark):
+    df = spark.createDataFrame(
+        [(i, f"common prefix words one two three four five unique tail {i} x y z")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    bench = df.filter(F.col("doc_id") < 2)
+    on = sorted(
+        tuple(r) for r in decontaminate(df, bench, broadcast_bench=True).collect()
+    )
+    off = sorted(
+        tuple(r) for r in decontaminate(df, bench, broadcast_bench=False).collect()
+    )
+    assert on == off
+
+
 def test_decontaminate_hash_matches_strings(spark):
     df = spark.createDataFrame(
         [(i, f"common prefix words one two three four five unique tail {i} x y z")
@@ -126,6 +189,13 @@ def test_canonical_url_expr(spark):
         ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
         ("http://example.com/", "http://example.com"),
         ("http://EXAMPLE.com/path///", "http://example.com/path"),
+        # userinfo preserved verbatim (credentials are case-sensitive)
+        ("http://User:Pw@Example.COM/x", "http://User:Pw@example.com/x"),
+        # percent-escape hex canonicalized to uppercase in path AND query;
+        # query sort happens AFTER escape normalization
+        ("http://example.com/a%2fb?x=%3d1&a=2", "http://example.com/a%2Fb?a=2&x=%3D1"),
+        # malformed URL (invalid escape): NULL canonical, never a throw
+        ("http://example.com/a%zz", None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.c for r in df.select(canonical_url_expr("u").alias("c")).collect()]

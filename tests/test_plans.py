@@ -90,6 +90,21 @@ def test_whole_stage_codegen_and_partial_agg(spark):
     assert "WholeStageCodegen" in buf.getvalue()
 
 
+def test_token_vocab_plan_shape(spark):
+    """token_vocab's docstring claims the distinct-aggregate expansion
+    shape (round-3 verdict item 6): the plan must show the Expand node
+    feeding partial aggregates (map-side combine of the distinct
+    (tok, doc_id) pairs) and the fused TakeOrderedAndProject top-k —
+    never a global Sort."""
+    from dedup.corpus import token_vocab
+
+    df = token_vocab(spark.read.parquet(f"{SF}/documents.parquet"), k=10)
+    plan = _plan(df)
+    assert "Expand" in plan, "count+count_distinct must plan the expand shape"
+    assert "partial_count" in plan, "map-side partial combine missing"
+    assert "TakeOrderedAndProject" in plan, "orderBy+limit must fuse to top-k"
+
+
 def test_trusted_text_scan_prunes_html(spark, tiny_pages_df, tmp_path):
     """The split-scan ingest optimization, pinned: on a trusted-text
     corpus the trusted branch's parquet ReadSchema must NOT contain

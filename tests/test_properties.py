@@ -113,20 +113,26 @@ def test_canonical_url_idempotent_fuzz(spark):
     urls = []
     for _ in range(200):
         proto = rng.choice(["http", "https", "HTTP", "HtTpS"])
+        userinfo = rng.choice(["", "u@", "User:Pw@", "a%2fb@"])
         host = rng.choice(["example.com", "Sub.Example.COM", "a.b.c"])
         port = rng.choice(["", ":80", ":443", ":8080"])
-        path = rng.choice(["", "/", "/x", "/x/y/", "/x//"])
-        q = rng.choice(["", "?b=2&a=1", "?z=9", "?a=1&a=0"])
+        path = rng.choice(["", "/", "/x", "/x/y/", "/x//", "/a%2fb", "/a%2Fb", "/%zz"])
+        q = rng.choice(["", "?b=2&a=1", "?z=9", "?a=1&a=0", "?k=%3d", "?k=%3D&j=%2f"])
         frag = rng.choice(["", "#f", "#a/b?c=1"])
-        urls.append((f"{proto}://{host}{port}{path}{q}{frag}",))
+        urls.append((f"{proto}://{userinfo}{host}{port}{path}{q}{frag}",))
     df = spark.createDataFrame(urls, "u string")
     out = df.select(
         canonical_url_expr("u").alias("c1"),
     ).withColumn("c2", canonical_url_expr(F.col("c1")))
     for r in out.collect():
+        if r.c1 is None:  # malformed URL (e.g. bad %-escape): NULL canonical
+            assert r.c2 is None
+            continue
         assert r.c1 == r.c2, r
         assert "#" not in r.c1
-        host_part = r.c1.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+        host_part = (
+            r.c1.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0].split("@")[-1]
+        )
         assert host_part == host_part.lower()
         # only the PROTOCOL-DEFAULT port is dropped (http:80 / https:443);
         # a mismatched port (e.g. https://h:80) is a real address and stays

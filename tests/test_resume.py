@@ -198,3 +198,15 @@ def test_staged_run_with_containment(spark, tmp_path):
     cl = {r.doc_id: r.cluster_id for r in tio.read("clusters").collect()}
     for row in sub.limit(5).collect():
         assert cl[row.src] == cl[row.dst]
+
+    # flipping --use-containment on the SAME run_id must NOT silently
+    # reuse the stale containment snapshots: the flag is folded into the
+    # resume key for the stages it affects (edges/clusters/report),
+    # while the flag-independent docs/signatures stages still resume
+    r2 = run(spark, tio, cfg, "runC", pages, use_containment=False)
+    assert r2.skipped == ["docs", "signatures"]
+    assert r2.ran == ["edges", "clusters", "report"]
+    assert tio.read("edges").filter(F.col("kind") == "substr").count() == 0
+    # and re-running the ORIGINAL flag value resumes everything
+    r3 = run(spark, tio, cfg, "runC", pages, use_containment=True)
+    assert r3.ran == []
