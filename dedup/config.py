@@ -99,6 +99,23 @@ class DedupConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    def storage_hash(self) -> str:
+        """Hash of only the knobs BAKED INTO committed table layouts
+        (shingle width, signature scheme/size, band layout, simhash
+        width): the streaming warehouse validates this every batch, so a
+        stream restarted with a changed signature layout fails fast
+        instead of silently probing mismatched band/chunk keys.
+        Threshold-style knobs (jaccard_thresh, hamming_thresh, caps) are
+        deliberately excluded — they are not persisted in any table and
+        may change freely across restarts."""
+        keys = (
+            "k", "num_perm", "perm_seed", "minhash_scheme",
+            "bands", "rows_per_band", "simhash_bits", "min_text_len",
+        )
+        d = asdict(self)
+        payload = json.dumps({k: d[k] for k in keys}, sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
     def with_(self, **kw) -> "DedupConfig":
         return replace(self, **kw)
 

