@@ -1629,19 +1629,74 @@ def q_stateful_sketch(spark, sf_dir):
     )
 
 
+# -- F5 variants: cube / grouping sets (round 4) ------------------------------
+
+_CUBE_SQL = (
+    "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,"
+    " count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM documents"
+    " GROUP BY CUBE(lang, source)"
+)
+
+
+@register("cube_report", _CUBE_SQL)
+def q_cube_report(spark, sf_dir):
+    """F5 cube variant (SURVEY names cube alongside rollup; only rollup
+    was driver-recorded before round 4): all four (lang, source)
+    aggregate margins in one pass — same Expand plan shape as rollup
+    with one extra grouping set, map-side partial combine intact."""
+    return (
+        load(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+_GSETS_SQL = (
+    "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,"
+    " count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM documents"
+    " GROUP BY GROUPING SETS ((lang, source), (source), ())"
+)
+
+
+@register("grouping_sets_report", _GSETS_SQL)
+def q_grouping_sets_report(spark, sf_dir):
+    """F5 explicit grouping-sets variant via the Spark 4 DataFrame
+    ``groupingSets`` API: an arbitrary margin list — (lang, source),
+    (source), () — that no single rollup/cube expresses."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupingSets([["lang", "source"], ["source"], []], "lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 #: Enumeration order of the driver contract. The driver records
 #: CORRECTNESS rows for exactly the FIRST 50 registered qkeys (confirmed
-#: twice: rounds 1 and 2 both cut at precisely 50, at different list
-#: positions). 66 registered keys > 50 ⇒ full coverage must be a UNION
-#: across rounds (round-2 verdict, next-round item 1): lead with the 16
-#: keys that have NO round-2 driver row — the five never recorded in any
-#: round (J2-J4 streaming, J5 sketch, cluster_report), the new
-#: containment-pipeline key, and the ten extras recorded only in round 1
-#: — then the 50 keys round 2 recorded green, in SURVEY §2 A→J order.
+#: three times: rounds 1-3 all cut at precisely 50, at different list
+#: positions). More registered keys than 50 ⇒ full coverage must be a
+#: UNION across rounds: any key WITHOUT a green driver record leads the
+#: list (after round 3 that is only the round-4 additions — every older
+#: key holds at least one green record), then the previously-recorded
+#: keys in rotation order. tests/test_driver_rotation.py pins this
+#: discipline mechanically against the CORRECTNESS_r*.json records.
 #: The cap then lands on keys that already hold a green r2 record, so
 #: after round 3 every registered operator has at least one green driver
 #: record. Keep any NEW qkey ahead of the r2-green block.
 _PRIORITY = [
+    # -- round-4 additions (no driver record yet) -------------------------
+    "cube_report", "grouping_sets_report",
     # -- never driver-recorded (r1+r2) ------------------------------------
     # J. streaming tail (§2 J2-J5)
     "watermark_dedup", "stream_windows", "foreach_batch_dedup",
