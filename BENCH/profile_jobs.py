@@ -1,4 +1,5 @@
-"""Job-level profile of run_dedup via Spark event logs.
+"""Job-level profile of run_dedup via Spark event logs — and, when run
+at two parallelism levels, the COMPUTED executor-scaling counterfactual.
 
 Runs the EXACT bench workload (warm-up + timed warm run of
 ``dedup.pipeline.run_dedup``) with ``spark.eventLog.enabled``, then
@@ -8,7 +9,26 @@ and the driver-side gap since the previous job. Jobs whose effective
 parallelism is far below the core count — and the gaps — are the
 non-scaling time that caps the local[8] → local[32] efficiency.
 
-Usage: python BENCH/profile_jobs.py [--n-docs 500000] [--cores 32]
+Counterfactual (round-3 verdict item 1a, now a reproducible artifact
+instead of prose): on ONE shared-memory VM every added local core
+shares the same DRAM channels, so per-phase task-seconds INFLATE with
+the core count on identical work — that inflation is a property of the
+host, not of the plan. N → 4N *executors* on a real cluster each bring
+their own sockets and memory channels, so the executor-scaling model
+holds per-phase task-seconds at their low-core (least-contended) values:
+
+    T_model(hi) = task_sum(lo) / hi_cores + overhead(hi)
+    eff_cf      = T_warm(lo) / (T_model(hi) * hi_cores / lo_cores)
+
+where overhead(hi) is the measured low-occupancy driver/serial time of
+the hi-core run (occupancy bins at <= hi/4 concurrent tasks — time NOT
+explained by task work, which the model already counts). Both the
+measured local efficiency and the counterfactual are emitted; --json
+writes the whole thing (inputs included) as an artifact that bench.py
+embeds in the per-round bench line.
+
+Usage: python BENCH/profile_jobs.py [--n-docs 500000] [--cores 4,16]
+       [--json BENCH/counterfactual.json]
 """
 
 from __future__ import annotations
@@ -25,7 +45,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run(cores: int, path: str, evdir: str) -> tuple[float, float]:
+def run(cores: int, path: str, evdir: str, warm_runs: int = 1) -> list:
     from dedup.config import DEFAULT_CONFIG
     from dedup.pipeline import run_dedup
     from dedup.session import get_spark
@@ -54,10 +74,18 @@ def run(cores: int, path: str, evdir: str) -> tuple[float, float]:
     once()  # warm-up
     spark.sparkContext._jvm.System.gc()  # reclaim warm-up shuffle files
     time.sleep(2)
-    t_mark = time.time() * 1000  # ms epoch: jobs after this are the timed run
-    warm = once()
+    # BEST-OF-N warm draws (same discipline as bench.py): the shared VM
+    # swings ±2× run-to-run; each draw gets its own t_mark so parse()
+    # can slice the event log per draw and keep only the best one's jobs
+    draws = []
+    for _ in range(warm_runs):
+        t_mark = time.time() * 1000  # ms epoch: this draw's job window
+        warm = once()
+        draws.append((t_mark, warm))
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
     spark.stop()
-    return warm, t_mark
+    return draws
 
 
 def _event_files(evdir: str) -> list[str]:
@@ -89,7 +117,9 @@ def _open_events(path: str):
     return open(path)
 
 
-def parse(evdir: str, t_mark: float, cores: int, warm: float) -> None:
+def parse(
+    evdir: str, t_mark: float, cores: int, warm: float, t_end: float = float("inf")
+) -> dict:
     logs = _event_files(evdir)
     jobs: dict[int, dict] = {}
     stage_names: dict[int, str] = {}
@@ -151,7 +181,9 @@ def parse(evdir: str, t_mark: float, cores: int, warm: float) -> None:
                 )
 
     timed = {
-        j: v for j, v in jobs.items() if v.get("start", 0) >= t_mark and "end" in v
+        j: v
+        for j, v in jobs.items()
+        if t_mark <= v.get("start", 0) < t_end and "end" in v
     }
     print(f"\n=== cores={cores} warm_total={warm:.1f}s  jobs(timed run)={len(timed)}")
 
@@ -206,14 +238,96 @@ def parse(evdir: str, t_mark: float, cores: int, warm: float) -> None:
         f"serial(~1)={serial:.1f}s  low(≤{cores//4})={low:.1f}s  "
         f"mid={mid:.1f}s  full(>{int(cores*0.75)})={full:.1f}s"
     )
+    return {
+        "cores": cores,
+        "warm_s": round(warm, 2),
+        "span_s": round(span, 1),
+        "task_sum_s": round(sum(v[1] for v in by_desc.values()), 1),
+        "phases": {
+            d: {"wall_s": round(w, 2), "task_s": round(tt, 1)}
+            for d, (w, tt, n, m) in by_desc.items()
+        },
+        "occupancy_s": {
+            "idle": round(idle, 1), "serial": round(serial, 1),
+            "low": round(low, 1), "mid": round(mid, 1), "full": round(full, 1),
+        },
+    }
+
+
+def counterfactual(lo: dict, hi: dict) -> dict:
+    """Executor-scaling model from two same-session profile runs (see
+    module docstring): measured local efficiency vs the efficiency with
+    per-phase task-seconds held at their lo-core values — what N → 4N
+    executors (each with its own DRAM channels) deliver."""
+    ratio = hi["cores"] / lo["cores"]
+    measured = lo["warm_s"] / (hi["warm_s"] * ratio)
+    occ = hi["occupancy_s"]
+    # the overhead term is a BRACKET, not a point: low-occupancy bins
+    # (2..cores/4 running tasks) are partially parallel — charging them
+    # entirely as overhead double-counts their task work (conservative,
+    # lower bound on efficiency); ignoring their idleness undercounts
+    # the driver/straggler tail (optimistic, upper bound). The true
+    # executor-scaling value lies between.
+    oh_cons = occ["idle"] + occ["serial"] + occ["low"]
+    oh_opt = occ["idle"] + occ["serial"]
+
+    def eff(overhead: float) -> tuple[float, float]:
+        t_model = lo["task_sum_s"] / hi["cores"] + overhead
+        return round(lo["warm_s"] / (t_model * ratio), 3), round(t_model, 2)
+
+    cf_cons, tm_cons = eff(oh_cons)
+    cf_opt, tm_opt = eff(oh_opt)
+    inflation = {
+        d: round(hi["phases"][d]["task_s"] / p["task_s"], 2)
+        for d, p in lo["phases"].items()
+        if d in hi["phases"] and p["task_s"] > 1.0
+    }
+    return {
+        "pair": f"local[{lo['cores']}]->local[{hi['cores']}]",
+        "measured_efficiency": round(measured, 3),
+        "counterfactual_efficiency": cf_cons,
+        "counterfactual_efficiency_optimistic": cf_opt,
+        "model": {
+            "t_lo_warm_s": lo["warm_s"],
+            "t_hi_warm_s": hi["warm_s"],
+            "task_sum_lo_s": lo["task_sum_s"],
+            "task_sum_hi_s": hi["task_sum_s"],
+            "overhead_hi_s": round(oh_cons, 1),
+            "overhead_hi_opt_s": round(oh_opt, 1),
+            "t_hi_model_s": tm_cons,
+            "t_hi_model_opt_s": tm_opt,
+        },
+        "phase_task_inflation": inflation,
+    }
+
+
+def _host_probe() -> dict:
+    """Same-day host evidence (CLAUDE.md protocol): touched-buffer
+    memcpy (< 20 ms = healthy window) + loadavg."""
+    import numpy as np
+
+    a = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a.copy()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "memcpy_ms": round(best * 1000, 1),
+        "load1": round(os.getloadavg()[0], 1),
+    }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=500_000)
     ap.add_argument("--cores", default="32")
+    ap.add_argument("--json", help="write results (+ counterfactual when 2 levels) here")
+    ap.add_argument("--warm-runs", type=int, default=1)
     args = ap.parse_args()
     path = os.path.join("/tmp", f"bench_pages_{args.n_docs}")
+    probe_before = _host_probe()
+    results = []
     for c in args.cores.split(","):
         evdir = f"/tmp/spark-events-{c}"
         if os.path.isdir(evdir):
@@ -221,8 +335,34 @@ def main() -> None:
 
             shutil.rmtree(evdir)
         os.makedirs(evdir)
-        warm, t_mark = run(int(c), path, evdir)
-        parse(evdir, t_mark, int(c), warm)
+        draws = run(int(c), path, evdir, warm_runs=args.warm_runs)
+        bounds = [m for m, _ in draws[1:]] + [float("inf")]
+        parsed = [
+            parse(evdir, m, int(c), w, t_end=e)
+            for (m, w), e in zip(draws, bounds)
+        ]
+        best = min(parsed, key=lambda r: r["warm_s"])
+        best["warm_draws"] = sorted(round(w, 2) for _, w in draws)
+        results.append(best)
+    out = {
+        "n_docs": args.n_docs,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "host_before": probe_before,
+        "host_after": _host_probe(),
+        "levels": results,
+        "regenerate": (
+            f"python BENCH/profile_jobs.py --n-docs {args.n_docs} "
+            f"--cores {args.cores} --warm-runs {args.warm_runs} "
+            "--json BENCH/counterfactual.json"
+        ),
+    }
+    if len(results) == 2:
+        lo, hi = sorted(results, key=lambda r: r["cores"])
+        out["counterfactual"] = counterfactual(lo, hi)
+        print(json.dumps(out["counterfactual"]))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -121,23 +121,35 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     pipeline_docs_per_sec = round(n_docs / times["near_dup_pipeline_warm"], 1)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_docs": n_docs,
-                "pipeline_docs_per_sec": pipeline_docs_per_sec,
-                "cpus": cpus,
-                "warm_runs": warm_runs,
-                "host_memcpy_ms": memcpy_ms,
-                "host_load1": round(os.getloadavg()[0], 1),
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "pipeline_docs_per_sec": pipeline_docs_per_sec,
+        "cpus": cpus,
+        "warm_runs": warm_runs,
+        "host_memcpy_ms": memcpy_ms,
+        "host_load1": round(os.getloadavg()[0], 1),
+    }
+    # Scaling evidence (BASELINE.json north rule, executor form): embed
+    # the latest COMPUTED two-level profile artifact — measured local
+    # efficiency plus the executor-scaling counterfactual with its
+    # model inputs — produced by BENCH/profile_jobs.py at 500k docs
+    # (the bench's own sf is far too small to measure scaling on).
+    # The artifact carries its own regeneration command + host probes.
+    cf_path = os.path.join(REPO, "BENCH", "counterfactual.json")
+    if os.path.exists(cf_path):
+        with open(cf_path) as f:
+            art = json.load(f)
+        line["scaling"] = {
+            "n_docs": art.get("n_docs"),
+            "measured_at": art.get("measured_at"),
+            **(art.get("counterfactual") or {}),
+        }
+    print(json.dumps(line))
     spark.stop()
 
 

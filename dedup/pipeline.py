@@ -35,7 +35,13 @@ from dedup.candidates import (
 from dedup.skew import salted_lsh_candidates
 from dedup.components import assign_clusters, connected_components
 from dedup.config import DEFAULT_CONFIG, DedupConfig
-from dedup.ingest import exact_edges, representatives, to_docs, to_docs_arrow
+from dedup.ingest import (
+    exact_edges,
+    exact_groups,
+    representatives,
+    to_docs,
+    to_docs_arrow,
+)
 from dedup.signatures import (
     with_bands,
     with_bands_pre,
@@ -186,7 +192,35 @@ def build_edges(
     # crossing (signatures.with_shingle_signatures) — the JVM shingle
     # expression + separate cache + separate UDF measured ~2× this cost
     # and scaled poorly with cores (substring/array_distinct churn)
-    if persist:
+    if persist and "band_hashes" in docs.columns:
+        # fused-ingest path (to_docs_arrow(slim_sigs=True)): the
+        # signature columns were computed inside the ingest kernel from
+        # the normalized bytes already in hand — norm_text never
+        # round-trips through the spill into a second Arrow crossing.
+        # Here we only rep-filter (sigs exist per ingested row; only
+        # content-sha representatives may enter candidate generation —
+        # identical signatures on exact dups would otherwise explode
+        # LSH buckets quadratically in group size) and re-spill the
+        # slim frame: a column-pruned scan (never the text) feeding a
+        # ~136 B/doc write, after which every downstream consumer —
+        # native sideband build included — sees the identical sigsh
+        # spill layout as the staged path.
+        sig_cols = [
+            c
+            for c in docs.columns
+            if c.startswith("pre")
+            or c in ("band_hashes", "simhash", "n_shingles")
+        ]
+        ids = exact_groups(docs).select(F.col("canon_id").alias("doc_id"))
+        if bcast_ids:
+            ids = F.broadcast(ids)
+        sig_sh = _spill(
+            docs.join(ids, "doc_id", "left_semi")
+            .filter(F.col("n_chars") >= cfg.min_text_len)
+            .select("doc_id", *sig_cols),
+            "sigsh",
+        )
+    elif persist:
         # fused slim signature stage (see signatures.with_slim_signatures):
         # band keys + est-prefilter minhash prefix + simhash in ONE Arrow
         # crossing, then one parquet round-trip materializes it for the
@@ -310,10 +344,18 @@ def run_dedup(
     use_simhash: bool = True,
     use_containment: bool = False,
     edge_kinds: tuple[str, ...] = ("exact", "near"),
+    fuse_ingest_sigs: bool | None = None,
 ) -> DedupResult:
     """Full pipeline: pages → clusters. ``edge_kinds`` selects which edge
     kinds participate in clustering (pinned default: exact + verified
-    Jaccard — the oracle in tests mirrors exactly this rule)."""
+    Jaccard — the oracle in tests mirrors exactly this rule).
+
+    ``fuse_ingest_sigs`` (None = $DEDUP_FUSE_INGEST_SIGS, default off):
+    trusted-text speculative path only — compute the slim signature
+    columns inside the ingest kernel (one Arrow crossing for
+    normalization AND signatures; the norm_text column never re-crosses
+    from the spill) at the cost of signing exact-duplicate captures too.
+    Output-identical either way (parity test); A/B in BENCH/BASELINE.md."""
     # Runtime-adaptive latest-capture pick: one pruned scan of the url
     # column (count vs distinct-count — map-side partial agg, ~30 MB of
     # strings at 500k docs) decides whether any url has multiple
@@ -339,6 +381,9 @@ def run_dedup(
     # provably skips.
     spark = pages.sparkSession
     speculate = not recompute_text
+    if fuse_ingest_sigs is None:
+        fuse_ingest_sigs = os.environ.get("DEDUP_FUSE_INGEST_SIGS", "0") == "1"
+    fuse_ingest_sigs = fuse_ingest_sigs and speculate
     probe_out: dict = {}
 
     def _probe() -> None:
@@ -384,6 +429,7 @@ def run_dedup(
                 assume_unique_urls=True,
                 keep_text=False,
                 carry_tiebreak=True,
+                slim_sigs=fuse_ingest_sigs,
             ),
             "docs",
         )
@@ -431,6 +477,19 @@ def run_dedup(
     edges, sigs, _sh = build_edges(
         docs, cfg, use_simhash=use_simhash, use_containment=use_containment
     )
+    if fuse_ingest_sigs and "band_hashes" in docs.columns:
+        # API/output parity with the staged path: the fused sig columns
+        # are build_edges internals — the returned docs/clusters frames
+        # carry the standard docs schema either way (lazy projection
+        # over the spill; the edge DAG above keeps its own reference)
+        docs = docs.drop(
+            *[
+                c
+                for c in docs.columns
+                if c.startswith("pre")
+                or c in ("band_hashes", "simhash", "n_shingles")
+            ]
+        )
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     with job_desc(pages.sparkSession, "dedup: verify edges + cc"):
         comp = connected_components(

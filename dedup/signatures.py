@@ -43,6 +43,40 @@ def _mh_matrix(flat, lengths, cfg: DedupConfig, consts, sorted_segments: bool):
     return minhash_batch(flat, lengths, consts)
 
 
+def slim_sig_arrays(data, offsets, cfg: DedupConfig, consts):
+    """(utf8 byte buffer, absolute int64 offsets) of n normalized texts →
+    the slim signature numpy columns: ``pre`` (n, n_longs) int64
+    byte-packed MinHash low bytes, ``band_hashes`` (n, bands) int64,
+    ``simhash`` (n,) int64, ``n_shingles`` (n,) lengths. ONE shared
+    implementation consumed by both ``with_slim_signatures`` (the staged
+    signature kernel) and the fused ingest kernel
+    (``ingest.to_docs_arrow(slim_sigs_cfg=...)``), so the two paths are
+    bit-identical by construction (parity test in tests/test_text.py)."""
+    from dedup.hashing import band_hashes_batch, hash_char_kgrams
+
+    flat_u64, lengths = hash_char_kgrams(data, offsets, cfg.k)
+    flat = flat_u64.view(np.int64)
+    mh = _mh_matrix(flat, lengths, cfg, consts, sorted_segments=True)
+    bh = band_hashes_batch(mh, cfg.bands, cfg.rows_per_band).view(np.int64)
+    simh = simhash_batch(flat, lengths)
+    n_longs = max(4, -(-cfg.num_perm // 8))
+    n = len(lengths)
+    packed = np.zeros((n, n_longs * 8), dtype=np.uint8)
+    packed[:, : cfg.num_perm] = (mh & np.uint64(0xFF)).astype(np.uint8)
+    pre = packed.view("<u8").view(np.int64)  # (n, n_longs)
+    return pre, bh, simh, lengths
+
+
+def slim_sig_schema_fields(cfg: DedupConfig) -> list[str]:
+    """DDL fields of the slim signature columns, in spill column order."""
+    n_longs = max(4, -(-cfg.num_perm // 8))
+    return [f"pre{i} long" for i in range(n_longs)] + [
+        "band_hashes array<long>",
+        "simhash long",
+        "n_shingles int",
+    ]
+
+
 def shingles_expr(text_col: str, k: int) -> F.Column:
     """Distinct hashed char k-grams of ``text_col`` as array<long>.
     Texts shorter than k yield the single shingle hash of the whole
@@ -327,11 +361,6 @@ def with_slim_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
                 if bufs[2] is not None
                 else np.empty(0, dtype=np.uint8)
             )
-            flat_u64, lengths = hash_char_kgrams(data, offsets, k)
-            flat = flat_u64.view(np.int64)
-            mh = _mh_matrix(flat, lengths, cfg, consts, sorted_segments=True)  # (n, num_perm) uint64
-            bh = band_hashes_batch(mh, b, r).view(np.int64)
-            simh = simhash_batch(flat, lengths)
             # byte-packed est bytes: low byte of each MinHash position,
             # packed little-endian into longs. The prefilters count equal
             # BYTES (pure-codegen zero-byte trick JVM-side) — a byte
@@ -339,9 +368,7 @@ def with_slim_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
             # byte-filtered set is a strict superset of the exact-
             # agreement one: zero recall cost, 8× fewer bytes than the
             # hash arrays, and no Arrow crossing for the candidate flood.
-            packed = np.zeros((n, n_longs * 8), dtype=np.uint8)
-            packed[:, :num_perm] = (mh & np.uint64(0xFF)).astype(np.uint8)
-            pre = packed.view("<u8").view(np.int64)  # (n, n_longs)
+            pre, bh, simh, lengths = slim_sig_arrays(data, offsets, cfg, consts)
 
             bh_list = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * b, b, dtype=np.int32)),

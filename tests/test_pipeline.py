@@ -205,6 +205,38 @@ def test_multi_capture_urls_take_latest(spark, tiny_pages_df):
     assert got.docs.count() == tiny_pages_df.count()
 
 
+def test_fused_ingest_sigs_pipeline_parity(spark, tiny_pages_df):
+    """Round-4 fusion lever, end-to-end: run_dedup with
+    fuse_ingest_sigs=True must produce identical edges (src, dst, kind),
+    identical clusters, and the standard docs schema — on a unique-url
+    corpus AND on a multi-capture corpus (the post-spill collapse rides
+    the fused columns through latest_docs_by_url)."""
+    from pyspark.sql import types as T
+
+    def keys(res):
+        return (
+            {(r.src, r.dst, r.kind) for r in res.edges.select("src", "dst", "kind").collect()},
+            {(r.url, r.cluster_id) for r in res.clusters.select("url", "cluster_id").collect()},
+        )
+
+    base = run_dedup(tiny_pages_df, DEFAULT_CONFIG, fuse_ingest_sigs=False)
+    fused = run_dedup(tiny_pages_df, DEFAULT_CONFIG, fuse_ingest_sigs=True)
+    assert keys(fused) == keys(base)
+    assert sorted(fused.docs.columns) == sorted(base.docs.columns)
+    assert not any(c.startswith("pre") for c in fused.clusters.columns)
+
+    stale = tiny_pages_df.limit(40).select(
+        "url",
+        (F.col("warc_ts") - F.expr("interval 7 days")).alias("warc_ts"),
+        F.lit(None).cast(T.BinaryType()).alias("html"),
+        F.concat(F.lit("STALE JUNK "), F.col("text")).alias("text"),
+        "lang",
+    )
+    noisy = tiny_pages_df.unionByName(stale)
+    noisy_fused = run_dedup(noisy, DEFAULT_CONFIG, fuse_ingest_sigs=True)
+    assert keys(noisy_fused) == keys(base)
+
+
 def test_containment_end_to_end(spark, tiny_pages_df, tiny_pages):
     """E5 in the full pipeline (round-1 verdict item 6): with
     use_containment=True, candidate pairs that FAIL the near-Jaccard
