@@ -149,7 +149,10 @@ def main() -> None:
     # exposes every level to the same noise distribution instead of
     # pinning one level to a bad window.
     ap.add_argument("--rounds", type=int, default=1)
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    # default OUT is a scratch file: BENCH/BASELINE.md is the hand-
+    # curated cross-round record (tables + lever writeups) — pass
+    # --out explicitly to regenerate it, then merge the prose back
+    ap.add_argument("--out", default="/tmp/baseline_generated.md")
     args = ap.parse_args()
 
     path = make_input(args.n_docs)

@@ -160,15 +160,15 @@ def token_vocab(
     by count desc, then token asc — a total order, so the LIMIT
     boundary is engine-independent).
 
-    Scale shape: ``count_distinct`` in the same agg makes Catalyst plan
-    the distinct-aggregate expansion — the map side partially combines
-    each task's stream down to its DISTINCT (tok, doc_id) pairs (plus a
-    per-task partial for the plain count), so the shuffle carries the
-    per-task distinct pair set: bounded by the token stream and far
-    smaller than |tokens|, but larger than |vocab| (the standard
-    distinct-agg shape; a plan test pins it). The final orderBy+limit
-    fuses into TakeOrderedAndProject (per-partition top-k, no global
-    sort)."""
+    Scale shape: Catalyst rewrites the single ``count_distinct`` as a
+    two-level aggregate — a partial (tok, doc_id)-keyed hash aggregate
+    collapses each task's token stream to its DISTINCT pairs (carrying
+    the plain count alongside) before the first shuffle, so that
+    shuffle ships per-task distinct (tok, doc_id) rows: bounded by the
+    token stream and far smaller than |tokens|, but larger than |vocab|
+    (a plan test pins the shape). A second tok-keyed exchange finishes
+    both counts, and the final orderBy+limit fuses into
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
     toks = docs.select(id_col, F.explode(_clean_tokens(text_col)).alias("tok"))
     counts = toks.groupBy("tok").agg(
         F.count("*").cast("long").alias("n_occurrences"),

@@ -91,18 +91,23 @@ def test_whole_stage_codegen_and_partial_agg(spark):
 
 
 def test_token_vocab_plan_shape(spark):
-    """token_vocab's docstring claims the distinct-aggregate expansion
-    shape (round-3 verdict item 6): the plan must show the Expand node
-    feeding partial aggregates (map-side combine of the distinct
-    (tok, doc_id) pairs) and the fused TakeOrderedAndProject top-k —
-    never a global Sort."""
+    """token_vocab's docstring claims the two-level distinct-aggregate
+    shape (round-3 verdict item 6): a partial (tok, doc_id)-keyed hash
+    aggregate must collapse each task's stream to its distinct pairs
+    BEFORE the first exchange (so the shuffle never carries raw
+    tokens), the distinct count must finish as partial_count(distinct),
+    and the top-k must fuse into TakeOrderedAndProject — never a global
+    Sort."""
     from dedup.corpus import token_vocab
 
     df = token_vocab(spark.read.parquet(f"{SF}/documents.parquet"), k=10)
     plan = _plan(df)
-    assert "Expand" in plan, "count+count_distinct must plan the expand shape"
-    assert "partial_count" in plan, "map-side partial combine missing"
+    assert "partial_count(1)" in plan and "keys=[tok" in plan, plan[:400]
+    # the pair-keyed partial agg dedupes (tok, doc_id) map-side
+    assert "doc_id" in plan.split("partial_count(1)")[0].rsplit("HashAggregate", 1)[-1]
+    assert "partial_count(distinct" in plan, "distinct count not partial-planned"
     assert "TakeOrderedAndProject" in plan, "orderBy+limit must fuse to top-k"
+    assert "Expand" not in plan  # single-distinct rewrites pair-keyed, no expand
 
 
 def test_trusted_text_scan_prunes_html(spark, tiny_pages_df, tmp_path):
