@@ -1429,6 +1429,32 @@ def q_sink_table(spark, sf_dir):
     return tio.read("docs_q")
 
 
+@register(
+    "sink_partitioned",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
+def q_sink_partitioned(spark, sf_dir):
+    """A3/§4.3 partitioned sink: commit hive-partitioned on lang across
+    TWO appended snapshots, read back with a partition filter — the
+    rows must equal the plain SQL predicate while the scan serves lang
+    from PartitionFilters (directory pruning; plan pinned in
+    tests/test_plans.py, DPP variant there too)."""
+    import tempfile
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, tempfile.mkdtemp(prefix="qsinkp-"), backend="parquet")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    half = F.col("doc_id") % 2 == 0
+    tio.write(docs.filter(half), "docs_p", mode="append", partition_by=["lang"])
+    tio.write(docs.filter(~half), "docs_p", mode="append", partition_by=["lang"])
+    return (
+        tio.read("docs_p")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
 # oracle = the first commit's predicate: time travel to snapshot s0
 # must see the en-rows only, not the second append
 @register("snapshot_read", "SELECT doc_id, lang FROM documents WHERE lang = 'en'")
@@ -1696,7 +1722,7 @@ def q_grouping_sets_report(spark, sf_dir):
 #: record. Keep any NEW qkey ahead of the r2-green block.
 _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
-    "cube_report", "grouping_sets_report",
+    "cube_report", "grouping_sets_report", "sink_partitioned",
     # -- never driver-recorded (r1+r2) ------------------------------------
     # J. streaming tail (§2 J2-J5)
     "watermark_dedup", "stream_windows", "foreach_batch_dedup",

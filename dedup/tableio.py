@@ -85,18 +85,42 @@ class TableIO:
         table: str,
         mode: str = "append",
         sort_within: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot of ``table``; returns snapshot id.
         ``sort_within``: optional sortWithinPartitions columns for file
-        clustering (H2) before the write."""
+        clustering (H2) before the write.
+        ``partition_by``: SURVEY §4.3 physical layout — hive-style
+        directory partitioning on the named columns, so reads filtering
+        on them prune at the PartitionFilters level (static) and joins
+        against a filtered dimension prune dynamically (DPP); plan tests
+        pin both. Appends to a partitioned table must repeat the same
+        columns (recorded in the manifest, validated here) — mixing
+        layouts within one table would silently break partition
+        discovery on read."""
         if self.backend == "iceberg":
-            (df.writeTo(table).append() if mode == "append" else df.writeTo(table).createOrReplace())
+            w = df.writeTo(table)
+            if partition_by and mode != "append":
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            (w.append() if mode == "append" else w.createOrReplace())
             return -1  # iceberg assigns its own ids; not used locally
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
-        data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(data_dir)
         prev = self.latest(table)
+        if mode == "append" and prev and prev.get("partition_by", []) != list(
+            partition_by or []
+        ):
+            raise ValueError(
+                f"table {table!r} is partitioned by {prev.get('partition_by')}, "
+                f"append requested {partition_by}: layouts must match"
+            )
+        data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
         snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
         dirs = [data_dir]
         if mode == "append" and prev:
@@ -106,6 +130,7 @@ class TableIO:
             "parent": prev["snapshot_id"] if prev else None,
             "mode": mode,
             "dirs": dirs,
+            "partition_by": list(partition_by or []),
             "committed_at": time.time(),
         }
         self._atomic_write_json(
@@ -133,6 +158,16 @@ class TableIO:
             if not match:
                 raise FileNotFoundError(f"{table!r} has no snapshot {snapshot_id}")
             snap = match[0]
+        if snap.get("partition_by"):
+            # hive-style partition discovery cannot span unrelated data
+            # roots (CONFLICTING_DIRECTORY_STRUCTURES) — scan each
+            # committed dir as its own partitioned root and union;
+            # filters on the partition columns still push into every
+            # scan's PartitionFilters through the union
+            out = self.spark.read.parquet(snap["dirs"][0])
+            for d in snap["dirs"][1:]:
+                out = out.unionByName(self.spark.read.parquet(d))
+            return out
         return self.spark.read.parquet(*snap["dirs"])
 
     def exists(self, table: str) -> bool:

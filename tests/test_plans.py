@@ -90,6 +90,47 @@ def test_whole_stage_codegen_and_partial_agg(spark):
     assert "WholeStageCodegen" in buf.getvalue()
 
 
+def test_partitioned_table_prunes_statically(spark, tmp_path):
+    """SURVEY §4.3: a committed table partitioned on a column must serve
+    an equality filter on it from PartitionFilters (directory pruning),
+    not a full-scan data filter."""
+    from pyspark.sql import functions as F
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, str(tmp_path / "wh_pp"), backend="parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tio.write(docs, "docs_pp", mode="overwrite", partition_by=["lang"])
+    df = tio.read("docs_pp").filter(F.col("lang") == "en")
+    plan = _explain_formatted(df)
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "lang" in pf and "en" in pf, f"lang=en not partition-pruned: {pf}"
+
+
+def test_partitioned_table_prunes_dynamically(spark, tmp_path):
+    """SURVEY §4.3 DPP: joining the partitioned table against a
+    FILTERED small dimension must plan a dynamicpruning subquery on the
+    partition column — at scale this is what keeps a dimension-driven
+    scan from reading every partition."""
+    from pyspark.sql import functions as F
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, str(tmp_path / "wh_dpp"), backend="parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tio.write(docs, "docs_dpp", mode="overwrite", partition_by=["lang"])
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 2), ("fr", 3)], "lang string, pri int"
+    ).filter(F.col("pri") == 1)
+    joined = tio.read("docs_dpp").join(F.broadcast(dim), "lang")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:500]
+
+
 def test_token_vocab_plan_shape(spark):
     """token_vocab's docstring claims the two-level distinct-aggregate
     shape (round-3 verdict item 6): a partial (tok, doc_id)-keyed hash

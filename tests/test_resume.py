@@ -40,6 +40,31 @@ def test_uncommitted_data_is_invisible(spark, tio, tmp_path):
     assert tio.read("t").count() == 4
 
 
+def test_partitioned_table_layout(spark, tio):
+    """SURVEY §4.3 physical layout: partition_by writes hive-style
+    dirs; reads see all rows across appended snapshots with the
+    partition column intact; mixed-layout appends are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+    s0 = tio.write(df, "pt", mode="append", partition_by=["lang"])
+    tio.write(
+        df.withColumn("doc_id", F.col("doc_id") + 100),
+        "pt", mode="append", partition_by=["lang"],
+    )
+    out = tio.read("pt")
+    assert out.count() == 200
+    assert set(out.columns) == {"doc_id", "lang"}
+    assert out.filter(F.col("lang") == "1").count() == 50
+    assert tio.read("pt", s0).count() == 100  # time travel still works
+    with _pytest.raises(ValueError, match="layouts must match"):
+        tio.write(df, "pt", mode="append")  # unpartitioned append rejected
+
+
 def test_read_missing_table_raises(tio):
     with pytest.raises(FileNotFoundError):
         tio.read("nope")
