@@ -1430,6 +1430,35 @@ def q_sink_table(spark, sf_dir):
 
 
 @register(
+    "bucketed_join",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_bucketed_join(spark, sf_dir):
+    """§4.3 co-located join surface: two catalog tables bucketed by
+    doc_id into the same bucket count join with NO exchange on either
+    side (plan pinned in tests/test_plans.py) — the layout that keeps a
+    corpus×corpus equi-join shuffle-free at 100 TB. Content-wise the
+    join reassembles the documents projection, which is the oracle."""
+    import tempfile
+    import uuid as _uuid
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, tempfile.mkdtemp(prefix="qbk-"), backend="parquet")
+    docs = load(spark, sf_dir, "documents")
+    a, b = f"qbk_a_{_uuid.uuid4().hex[:8]}", f"qbk_b_{_uuid.uuid4().hex[:8]}"
+    tio.write_bucketed(docs.select("doc_id", "lang"), a, ["doc_id"], 8,
+                       sort_by=["doc_id"])
+    tio.write_bucketed(docs.select("doc_id", "n_chars"), b, ["doc_id"], 8,
+                       sort_by=["doc_id"])
+    return (
+        tio.read_bucketed(a)
+        .join(tio.read_bucketed(b), "doc_id")
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+@register(
     "sink_partitioned",
     "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
 )
@@ -1723,6 +1752,7 @@ def q_grouping_sets_report(spark, sf_dir):
 _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
     "cube_report", "grouping_sets_report", "sink_partitioned",
+    "bucketed_join",
     # -- never driver-recorded (r1+r2) ------------------------------------
     # J. streaming tail (§2 J2-J5)
     "watermark_dedup", "stream_windows", "foreach_batch_dedup",

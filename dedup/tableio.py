@@ -139,6 +139,48 @@ class TableIO:
         )
         return snapshot_id
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """SURVEY §4.3 bucketed layout — the CO-LOCATED-JOIN surface:
+        two tables bucketed by the same key into the same bucket count
+        join WITHOUT an exchange on either side (the at-scale answer to
+        'this corpus-sized join shuffles every batch'; plan test pins
+        the no-Exchange property). Parquet bucketing lives in the
+        session catalog (bucket metadata has no path-only form), so
+        this is a separate surface from the manifest snapshots: catalog
+        table = join layout, manifest = time travel. Iceberg unifies
+        the two at real scale (`bucket(N, col)` partition transform on
+        the same committed table); the dispatch here forwards to a
+        plain ``partitionedBy(bucket(N, col))`` createOrReplace."""
+        if self.backend == "iceberg":
+            from pyspark.sql import functions as F
+
+            w = df.writeTo(table).partitionedBy(
+                F.bucket(n_buckets, bucket_by[0]),
+                *[F.col(c) for c in bucket_by[1:]],
+            )
+            w.createOrReplace()
+            return
+        path = os.path.join(self._tdir(table), "bucketed")
+        w = (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, *bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        w.saveAsTable(table)
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        return self.spark.table(table)
+
     # -- read --------------------------------------------------------------
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Read a committed snapshot (latest by default). Only manifest-

@@ -131,6 +131,38 @@ def test_partitioned_table_prunes_dynamically(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:500]
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """SURVEY §4.3 / driver prompt 'bucketing for co-located joins':
+    two tables bucketed by the same key into the same bucket count must
+    join with NO Exchange on either side — the layout that keeps a
+    corpus×corpus join shuffle-free at 100 TB. (Broadcast is disabled
+    for the assertion so the planner must pick the sort-merge path.)"""
+    from pyspark.sql import functions as F
+
+    from dedup.tableio import TableIO
+
+    tio = TableIO(spark, str(tmp_path / "wh_bk"), backend="parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tio.write_bucketed(
+        docs.select("doc_id", "lang"), "bk_a", ["doc_id"], 8, sort_by=["doc_id"]
+    )
+    tio.write_bucketed(
+        docs.select("doc_id", "n_chars"), "bk_b", ["doc_id"], 8, sort_by=["doc_id"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = tio.read_bucketed("bk_a").join(tio.read_bucketed("bk_b"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles: {plan[:500]}"
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_token_vocab_plan_shape(spark):
     """token_vocab's docstring claims the two-level distinct-aggregate
     shape (round-3 verdict item 6): a partial (tok, doc_id)-keyed hash
