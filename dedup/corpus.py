@@ -152,6 +152,73 @@ def canonical_url_expr(col: str | Column) -> Column:
     )
 
 
+#: PII patterns, applied in order. Deliberately restricted to syntax
+#: with identical semantics in Java regex (Spark) and RE2 (DuckDB
+#: oracle / Arrow): character classes, bounded counts, \b, no
+#: lookaround, no backrefs in the replacement.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+\d{9,15}", "<PHONE>"),
+]
+
+
+def redact_pii_expr(col: str | Column) -> Column:
+    """Corpus-hygiene PII redaction (emails, IPv4, international phone
+    numbers → typed placeholders): chained ``regexp_replace`` — pure
+    whole-stage codegen, a 100 TB redaction pass is one projection over
+    the scan. Email is applied first so its local-part digits cannot be
+    half-eaten by the phone rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def chunk_plan(
+    docs: DataFrame,
+    capacity: int,
+    text_col: str = "norm_text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Sequence-packing plan for LLM training (concat-then-chunk): docs
+    are concatenated in ``id_col`` order and sliced into fixed
+    ``capacity``-token chunks; each doc gets the [start_chunk,
+    end_chunk] range its tokens land in. Pure window SQL — a running
+    token sum and two floor divisions — so the whole plan is one
+    windowed projection (the oracle twin is the same SQL in DuckDB).
+
+    Token counts are whitespace tokens of the (normalized,
+    single-spaced) text — identical to the ``token_count`` operator's
+    definition, so plans and token budgets agree across the API.
+
+    Scale shape: with ``shard_col`` the window partitions by shard and
+    packing is per-shard parallel (the deployment mode — a global
+    total order over 10^12 docs is a single-partition window and is
+    only acceptable for small corpora, which is why the unsharded form
+    exists but warns here)."""
+    from pyspark.sql import Window
+
+    tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        if shard_col
+        else Window.orderBy(id_col)
+    )
+    out_cols = [id_col] + ([shard_col] if shard_col else [])
+    d = docs.select(*out_cols, tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    start = F.floor((cum - F.col("n_tokens")) / capacity).cast("long")
+    end = F.greatest(start, F.floor((cum - 1) / capacity).cast("long"))
+    return d.select(
+        *out_cols,
+        "n_tokens",
+        start.alias("start_chunk"),
+        end.alias("end_chunk"),
+    )
+
+
 def token_vocab(
     docs: DataFrame, text_col: str = "text", k: int = 100, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1429,6 +1429,65 @@ def q_sink_table(spark, sf_dir):
     return tio.read("docs_q")
 
 
+# -- corpus hygiene round 4: PII redaction + sequence packing -----------------
+
+_PII_SQL = (
+    "WITH d AS (SELECT doc_id,"
+    " text || ' contact u' || doc_id::VARCHAR || '@example.com from 10.0.0.'"
+    " || (doc_id % 256)::VARCHAR || ' or +15550001234' AS t FROM documents)"
+    " SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),"
+    " '\\+\\d{9,15}', '<PHONE>', 'g') AS clean FROM d"
+)
+
+
+@register("redact_pii", _PII_SQL)
+def q_redact_pii(spark, sf_dir):
+    """Corpus-hygiene PII redaction: the driver's synthetic text is
+    PII-free, so both sides append a deterministic doc_id-derived
+    email/IP/phone tail before redacting — the oracle checks the chained
+    codegen regexp_replace semantics byte-for-byte."""
+    from dedup.corpus import redact_pii_expr
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or +15550001234"),
+        ).alias("t"),
+    )
+    return d.select("doc_id", redact_pii_expr("t").alias("clean"))
+
+
+_PACK_SQL = (
+    f"WITH d AS (SELECT doc_id, lang, {NORM_SQL} AS nt FROM documents),"
+    " t AS (SELECT doc_id, lang,"
+    "   length(string_split(nt, ' '))::BIGINT AS n_tokens FROM d),"
+    " c AS (SELECT doc_id, lang, n_tokens,"
+    "   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)"
+    " SELECT doc_id, lang, n_tokens,"
+    " floor((cum - n_tokens) / 512)::BIGINT AS start_chunk,"
+    " greatest(floor((cum - n_tokens) / 512), floor((cum - 1) / 512))::BIGINT"
+    "   AS end_chunk FROM c"
+)
+
+
+@register("pack_chunks", _PACK_SQL)
+def q_pack_chunks(spark, sf_dir):
+    """Sequence-packing plan (concat-then-chunk at 512 tokens,
+    per-lang shards): each doc's [start_chunk, end_chunk] range from a
+    running windowed token sum — corpus.chunk_plan."""
+    from dedup.corpus import chunk_plan
+
+    d = docs_norm(spark, sf_dir).select("doc_id", "lang", "norm_text")
+    return chunk_plan(d, capacity=512, shard_col="lang")
+
+
 @register(
     "bucketed_join",
     "SELECT doc_id, lang, n_chars FROM documents",
@@ -1752,7 +1811,7 @@ def q_grouping_sets_report(spark, sf_dir):
 _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
     "cube_report", "grouping_sets_report", "sink_partitioned",
-    "bucketed_join",
+    "bucketed_join", "redact_pii", "pack_chunks",
     # -- never driver-recorded (r1+r2) ------------------------------------
     # J. streaming tail (§2 J2-J5)
     "watermark_dedup", "stream_windows", "foreach_batch_dedup",

@@ -214,6 +214,48 @@ def test_token_vocab_counts_and_tie_order(spark):
     ]
 
 
+def test_redact_pii_semantics(spark):
+    from dedup.corpus import redact_pii_expr
+
+    cases = [
+        ("mail me at a.b+c@Example.co.uk now", "mail me at <EMAIL> now"),
+        ("server 192.168.0.1 down", "server <IP> down"),
+        ("call +4915112345678 today", "call <PHONE> today"),
+        # email wins over phone digits in its local part; short digit
+        # runs and bare words untouched
+        ("x 12345@test.org +123 y", "x <EMAIL> +123 y"),
+        ("no pii here 1.2 ok", "no pii here 1.2 ok"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r.c for r in df.select(redact_pii_expr("t").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_chunk_plan_semantics(spark):
+    """Concat-then-chunk at capacity 5: doc token runs 3,4,5,1 pack to
+    cumulative [0,3) [3,7) [7,12) [12,13) → chunk ranges [0,0] [0,1]
+    [1,2] [2,2]; a second shard packs independently from chunk 0."""
+    from dedup.corpus import chunk_plan
+
+    rows = [
+        (1, "a", "t t t"),
+        (2, "a", "t t t t"),
+        (3, "a", "t t t t t"),
+        (4, "a", "t"),
+        (10, "b", "t t t t t t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, norm_text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.start_chunk, r.end_chunk)
+        for r in chunk_plan(df, capacity=5, shard_col="lang").collect()
+    }
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (4, 0, 1)
+    assert got[3] == (5, 1, 2)
+    assert got[4] == (1, 2, 2)
+    assert got[10] == (6, 0, 1)  # shard b starts over
+
+
 def test_decontaminate_clean_corpus(spark):
     df = spark.createDataFrame(
         [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(6)],
