@@ -1429,6 +1429,80 @@ def q_sink_table(spark, sf_dir):
     return tio.read("docs_q")
 
 
+# -- corpus hygiene round 4: cross-corpus near-dup ----------------------------
+
+# brute-force oracle: every new×ref pair with exact hashed-shingle
+# Jaccard >= 0.8, counted per new doc (counts only — no float column,
+# so no rounding-dialect exposure); same hashed-set + length-ratio
+# idiom as _NGRAM_JACC_SQL
+_XCORPUS_SQL = f"""
+WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+s AS (SELECT doc_id, list_distinct([hash(x) for x in {SHINGLES_SQL}]) AS sh FROM d),
+n AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+r AS (SELECT * FROM s WHERE doc_id % 5 != 0),
+p AS (SELECT n.doc_id,
+        length(list_intersect(n.sh, r.sh))::DOUBLE
+          / (length(n.sh) + length(r.sh) - length(list_intersect(n.sh, r.sh))) AS j
+      FROM n JOIN r
+        ON least(length(n.sh), length(r.sh))::DOUBLE
+           >= 0.8 * greatest(length(n.sh), length(r.sh))),
+h AS (SELECT doc_id, count(*)::BIGINT AS n_matches FROM p WHERE j >= 0.8
+      GROUP BY doc_id)
+SELECT n.doc_id, coalesce(h.n_matches, 0)::BIGINT AS n_matches,
+       coalesce(h.n_matches, 0) > 0 AS is_dup
+FROM n LEFT JOIN h ON n.doc_id = h.doc_id
+"""
+
+
+@register("cross_corpus_neardup", _XCORPUS_SQL)
+def q_cross_corpus_neardup(spark, sf_dir):
+    """Cross-corpus near-dedup: flag NEW docs (doc_id % 5 == 0) that are
+    near-duplicates of a REFERENCE corpus (the rest) — the batch form
+    of the streaming probe (candidates.*_candidates_probe): new-side
+    band/chunk keys probe the reference side only, so no new×new or
+    ref×ref pair is ever formed and the pair volume scales with the new
+    side. Survivors are decided by exact shingle Jaccard ≥ 0.8
+    (verify_jaccard), which is what the brute-force oracle recomputes.
+    Returns (doc_id, n_matches, is_dup) for EVERY new doc."""
+    from dedup.candidates import (
+        lsh_candidates_probe,
+        simhash_candidates_probe,
+        simhash_chunks,
+    )
+    from dedup.signatures import with_bands, with_shingles, with_signatures
+    from dedup.verify import verify_jaccard
+
+    cfg = HIGH_RECALL_CONFIG
+    d = docs_norm(spark, sf_dir).select("doc_id", "norm_text")
+    is_new = F.col("doc_id") % 5 == 0
+    new_docs, ref_docs = d.filter(is_new), d.filter(~is_new)
+    sh = with_shingles(d, cfg)
+    new_sigs = with_signatures(with_shingles(new_docs, cfg), cfg)
+    ref_sigs = with_signatures(with_shingles(ref_docs, cfg), cfg)
+    pairs = (
+        lsh_candidates_probe(with_bands(new_sigs, cfg), with_bands(ref_sigs, cfg), cfg)
+        .union(
+            simhash_candidates_probe(
+                simhash_chunks(new_sigs, cfg), simhash_chunks(ref_sigs, cfg), cfg
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    near = verify_jaccard(pairs, sh, cfg)
+    new_ids = new_docs.select("doc_id")
+    hits = (
+        near.select(F.explode(F.array("src", "dst")).alias("doc_id"))
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+    return new_ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+    )
+
+
 # -- corpus hygiene round 4: PII redaction + sequence packing -----------------
 
 _PII_SQL = (
@@ -1811,7 +1885,7 @@ def q_grouping_sets_report(spark, sf_dir):
 _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
     "cube_report", "grouping_sets_report", "sink_partitioned",
-    "bucketed_join", "redact_pii", "pack_chunks",
+    "bucketed_join", "redact_pii", "pack_chunks", "cross_corpus_neardup",
     # -- never driver-recorded (r1+r2) ------------------------------------
     # J. streaming tail (§2 J2-J5)
     "watermark_dedup", "stream_windows", "foreach_batch_dedup",
