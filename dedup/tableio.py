@@ -139,6 +139,33 @@ class TableIO:
         )
         return snapshot_id
 
+    def compact(
+        self,
+        table: str,
+        target_files: int,
+        sort_within: list[str] | None = None,
+    ) -> int:
+        """Small-file compaction (the Iceberg ``rewrite_data_files``
+        analog): rewrite the CURRENT snapshot's rows into
+        ``target_files`` evenly-sized files as a new overwrite
+        snapshot. Content-identical by construction; earlier snapshots
+        stay time-travelable (the manifest chain is append-only, so
+        compaction is as crash-safe as any commit). A long-lived
+        append-heavy table — the streaming warehouse's docs/edges logs
+        — otherwise accretes one file set per microbatch and every
+        corpus-linear probe pays the per-file open/footer cost; at real
+        scale this runs as a background maintenance job per table."""
+        df = self.read(table)
+        prev = self.latest(table)
+        out = df.repartition(target_files)
+        return self.write(
+            out,
+            table,
+            mode="overwrite",
+            sort_within=sort_within,
+            partition_by=(prev or {}).get("partition_by") or None,
+        )
+
     def write_bucketed(
         self,
         df: DataFrame,

@@ -65,6 +65,37 @@ def test_partitioned_table_layout(spark, tio):
         tio.write(df, "pt", mode="append")  # unpartitioned append rejected
 
 
+def test_compact_rewrites_files_content_identical(spark, tio, tmp_path):
+    """Compaction: many-append table rewritten to few files as a NEW
+    snapshot — rows identical, file count reduced, pre-compaction
+    snapshots still time-travelable."""
+    import glob
+    import os
+
+    for i in range(6):  # 6 appended snapshots, several files each
+        tio.write(
+            spark.range(i * 50, (i + 1) * 50).repartition(4).withColumnRenamed(
+                "id", "v"
+            ),
+            "ct", mode="append",
+        )
+    before = sorted(r.v for r in tio.read("ct").collect())
+    s_pre = tio.latest("ct")["snapshot_id"]
+    n_files_before = sum(
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in tio.latest("ct")["dirs"]
+    )
+    s_new = tio.compact("ct", target_files=2, sort_within=["v"])
+    after_snap = tio.latest("ct")
+    assert after_snap["snapshot_id"] == s_new
+    n_files_after = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in after_snap["dirs"]
+    )
+    assert sorted(r.v for r in tio.read("ct").collect()) == before
+    assert n_files_after == 2 < n_files_before
+    assert tio.read("ct", s_pre).count() == 300  # time travel intact
+
+
 def test_read_missing_table_raises(tio):
     with pytest.raises(FileNotFoundError):
         tio.read("nope")
