@@ -49,10 +49,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def once(fuse: bool | None = None) -> tuple[float, int]:
+        from dedup.pipeline import job_desc
+
         pages = spark.read.parquet(path)
         t0 = time.perf_counter()
         res = run_dedup(pages, DEFAULT_CONFIG, fuse_ingest_sigs=fuse)
-        n = res.clusters.select("cluster_id").distinct().count()
+        with job_desc(spark, "dedup: clusters distinct (harness)"):
+            n = res.clusters.select("cluster_id").distinct().count()
         dt = time.perf_counter() - t0
         for df in (res.docs, res.signatures, res.edges):
             df.unpersist()

@@ -61,10 +61,13 @@ def run(cores: int, path: str, evdir: str, warm_runs: int = 1) -> list:
     )
 
     def once():
+        from dedup.pipeline import job_desc
+
         pages = spark.read.parquet(path)
         t0 = time.perf_counter()
         res = run_dedup(pages, DEFAULT_CONFIG)
-        res.clusters.select("cluster_id").distinct().count()
+        with job_desc(spark, "dedup: clusters distinct (harness)"):
+            res.clusters.select("cluster_id").distinct().count()
         dt = time.perf_counter() - t0
         for df in (res.docs, res.signatures, res.edges):
             df.unpersist()

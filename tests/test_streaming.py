@@ -324,6 +324,38 @@ def test_process_batch_frees_its_spill(spark, tmp_path, pages_pdf):
     assert leaked == []
 
 
+def test_compact_mid_stream_preserves_incremental_result(spark, tmp_path, pages_pdf):
+    """TableIO.compact run between microbatches (the maintenance-job
+    deployment shape: the append-heavy docs/edges logs get rewritten
+    while the stream is between triggers) must not change what later
+    batches compute — the url anti-join, probes, and cluster contraction
+    read content, not file layout."""
+    cfg = DEFAULT_CONFIG
+    tio = TableIO(spark, str(tmp_path / "wh_cmp"), backend="parquet")
+    cuts = [0, 130, 230, 300]
+    for i in range(3):
+        b = spark.createDataFrame(pages_pdf.iloc[cuts[i]: cuts[i + 1]], schema=PAGES)
+        process_batch(spark, tio, cfg, b)
+        if i == 0:
+            tio.compact("docs", target_files=2, sort_within=["doc_id"])
+            tio.compact("edges", target_files=1)
+        elif i == 1:
+            tio.compact("bands", target_files=2)
+
+    inc = {
+        (r.url, r.cluster_id)
+        for r in tio.read("clusters").select("url", "cluster_id").collect()
+    }
+    from dedup.pipeline import run_dedup
+
+    res = run_dedup(spark.createDataFrame(pages_pdf, schema=PAGES), cfg)
+    one = {
+        (r.url, r.cluster_id)
+        for r in res.clusters.select("url", "cluster_id").collect()
+    }
+    assert inc == one
+
+
 def test_incremental_batch_proportional_work(spark, tmp_path, pages_pdf):
     """Round-2 verdict item 4: per-batch band/chunk explode and CC input
     must scale with the BATCH, not the corpus. A large first batch (250
