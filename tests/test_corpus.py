@@ -256,6 +256,40 @@ def test_chunk_plan_semantics(spark):
     assert got[10] == (6, 0, 1)  # shard b starts over
 
 
+def test_chunk_plan_matches_python_reference_fuzz(spark):
+    """chunk_plan ≡ the sequential concat-then-chunk reference over a
+    seeded grid of token-count profiles and capacities, with shards and
+    a partition-count shuffle (window order must not depend on physical
+    layout). Invariants: start ≤ end; per-shard chunk ranges are
+    monotone non-decreasing in id order; token spans tile the stream."""
+    import random
+
+    from dedup.corpus import chunk_plan
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        shard = f"s{rng.randrange(3)}"
+        n_tok = rng.choice([1, 2, 3, 5, 8, 13, 40, 100])
+        rows.append((i, shard, " ".join("t" for _ in range(n_tok))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, norm_text string"
+    ).repartition(7)
+    for cap in (5, 64, 512):
+        got = {
+            r.doc_id: (r.n_tokens, r.start_chunk, r.end_chunk)
+            for r in chunk_plan(df, capacity=cap, shard_col="lang").collect()
+        }
+        cum: dict[str, int] = {}
+        for i, shard, text in rows:
+            tok = len(text.split(" "))
+            before = cum.get(shard, 0)
+            after = before + tok
+            cum[shard] = after
+            want = (tok, before // cap, max(before // cap, (after - 1) // cap))
+            assert got[i] == want, (cap, i, got[i], want)
+
+
 def test_decontaminate_clean_corpus(spark):
     df = spark.createDataFrame(
         [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(6)],
