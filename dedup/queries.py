@@ -897,6 +897,30 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(v, v.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "ann_ivf_full",
+    f"SELECT a.vec_id AS q_id, b.vec_id AS n_id, round({_COS_SQL}, 4) AS cos,"
+    " row_number() OVER (PARTITION BY a.vec_id"
+    f" ORDER BY round({_COS_SQL}, 4) DESC, b.vec_id ASC) AS rank"
+    " FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id"
+    " QUALIFY rank <= 5",
+)
+def q_ann_ivf_full(spark, sf_dir):
+    """IVF at FULL probe (n_probe = n_cells): every cell is scanned, so
+    the result is exactly the exact top-k — which gives the IVF path a
+    full SQL-oracle driver record (the default-probe `ann_ivf` is
+    approximate by design and rows-only). Exercises centroid assign,
+    the cell-key join, and the re-rank window under a hash-verified
+    contract; the approximate path differs only in the probed cell set
+    (recall ≥ 0.9 pinned in tests/test_simsearch.py)."""
+    from dedup.simsearch import ivf_topk
+
+    v = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        v, v.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=16
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1886,6 +1910,7 @@ _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
     "cube_report", "grouping_sets_report", "sink_partitioned",
     "bucketed_join", "redact_pii", "pack_chunks", "cross_corpus_neardup",
+    "ann_ivf_full",
     # -- never driver-recorded (r1+r2) ------------------------------------
     # J. streaming tail (§2 J2-J5)
     "watermark_dedup", "stream_windows", "foreach_batch_dedup",
