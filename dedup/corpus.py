@@ -362,3 +362,204 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain corpus reporting
+# ---------------------------------------------------------------------------
+
+#: scheme://[userinfo@]host[:port]... — host is capture group 1. The
+#: pattern is restricted to the Java-regex ∩ RE2 common subset (no
+#: lookaround/backrefs) so the DuckDB oracle twin matches byte-for-byte,
+#: same discipline as PII_PATTERNS.
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+#: last two dot-labels of a host — the apex-domain approximation used
+#: when no public-suffix list is shipped (a real deployment would swap
+#: in eTLD+1 from the PSL; the aggregation shape is identical).
+APEX_RE = r"([^.]+\.[^.]+)$"
+
+
+def host_expr(col: str | Column) -> Column:
+    """Lowercased host (authority minus userinfo/port) of a URL; ''
+    when the value does not parse as an absolute URL. Pure codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, HOST_RE, 1))
+
+
+def apex_domain_expr(col: str | Column) -> Column:
+    """Apex domain (last two host labels) of a URL; single-label hosts
+    (e.g. ``localhost``) fall back to the host itself."""
+    h = host_expr(col)
+    a = F.regexp_extract(h, APEX_RE, 1)
+    return F.when(a == "", h).otherwise(a)
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-domain corpus report (the standard web-pipeline curation
+    view: which domains dominate the crawl, how many hosts/langs they
+    span, how many bytes they contribute). Returns one row per apex
+    domain: (domain, n_docs, n_hosts, n_langs, total_chars).
+
+    Scale shape: host/apex extraction is a pure codegen projection over
+    the scan; the report is ONE hash aggregate keyed by domain with
+    map-side partial combine (the two ``count_distinct`` expand to the
+    standard distinct-aggregate two-phase plan — per-task distinct
+    (domain, host/lang) pairs cross the shuffle, bounded far below the
+    row count). No Python, no window, no join."""
+    d = docs.select(
+        apex_domain_expr(url_col).alias("domain"),
+        host_expr(url_col).alias("host"),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    return d.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("host").cast("long").alias("n_hosts"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence paragraph dedup (RefinedWeb/Dolma-style)
+# ---------------------------------------------------------------------------
+
+
+def keep_first_paragraphs(
+    docs: DataFrame, para_col: str = "paras", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-global exact paragraph dedup, keep-first: a paragraph is
+    kept only at its first occurrence in (``id_col``, position) order;
+    every later exact copy (across OR within documents) is dropped, and
+    each document is rebuilt from its surviving paragraphs in original
+    order. This is the RefinedWeb/Dolma exact-paragraph pass —
+    complementary to ``remove_common_lines`` (which drops boilerplate
+    from EVERY doc; this keeps one canonical copy).
+
+    Returns (id, n_paras, n_kept, clean_text) for every input doc.
+
+    Scale shape: one ``min(struct(doc, pos))`` hash aggregate keyed by
+    the paragraph — map-side-combinable, so each task first collapses
+    its local duplicates — whose OUTPUT already IS the kept set (one
+    (doc, pos, para) winner per distinct paragraph; no join-back), then
+    one doc-keyed regroup to rebuild. At 100 TB the group key would be
+    a 128-bit content hash with the string carried via any_value; the
+    string key here keeps the operator collision-free and lets the SQL
+    oracle twin bind exactly."""
+    e = docs.select(id_col, F.posexplode(para_col).alias("p_idx", "para"))
+    firsts = e.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("p_idx").alias("i"))).alias("f")
+    )
+    kept = firsts.select(
+        F.col("f.d").alias(id_col), F.col("f.i").alias("p_idx"), "para"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(id_col, F.size(para_col).cast("long").alias("n_paras"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: fixed-point denominator for sampling rates (2^20): rates are
+#: expressed as integer thresholds so the keep test is exact integer
+#: arithmetic — reproducible across engines, partitionings and reruns,
+#: unlike df.sample() whose output depends on the split layout.
+SAMPLE_DENOM = 1 << 20
+
+
+def sample_hash_expr(col: str | Column) -> Column:
+    """Deterministic per-row bucket in [0, 2^20) from an integer id:
+    a multiplicative (Knuth) hash in plain BIGINT arithmetic — chosen
+    over xxhash64 so the SQL oracle twin computes the identical value
+    (DuckDB has no xxhash64). The id is folded mod 1000003 first so the
+    multiply stays far inside int64 under ANSI overflow checking."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ((c % 1000003) * F.lit(2654435761) + F.lit(40503)) % F.lit(SAMPLE_DENOM)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsampling (the language-rebalancing
+    step of multilingual corpus curation): each stratum keeps
+    approximately ``rates[stratum]`` of its rows, selected by a pure
+    hash of the row id — stable across reruns, partitionings and
+    engines (no RNG state). Emits the row id, stratum and bucket value.
+
+    Scale shape: a single codegen filter over the scan — NO shuffle,
+    NO sample() (whose row picks depend on partition layout). The
+    per-stratum threshold is a literal CASE, so predicate pushdown and
+    column pruning survive."""
+    thr = F.lit(int(default_rate * SAMPLE_DENOM))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * SAMPLE_DENOM))
+        ).otherwise(thr)
+    h = sample_hash_expr(id_col)
+    return docs.select(
+        id_col, stratum_col, h.cast("long").alias("bucket")
+    ).filter(F.col("bucket") < thr)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-``k`` salient tokens by an integer TF-IDF
+    surrogate: score = floor(tf * 10^6 / df) (term frequency scaled by
+    inverse document frequency as an exact integer — no logarithms, so
+    the cross-engine oracle binds without float-tie hazards). Tie order
+    (score desc, token asc) is total. Returns (id, tok, tf, df, score)
+    for the k winners per doc.
+
+    Scale shape: tf = (doc, tok)-keyed hash aggregate with map-side
+    combine over the exploded token stream; df = a second tok-keyed
+    aggregate over tf's OUTPUT (one row per (doc, tok), so count(*)
+    IS the document frequency — the raw token stream is aggregated
+    exactly once); the tf⋈df equi-join shuffles on tok (AQE may demote
+    to broadcast when the vocab is small); the final top-k is a per-doc
+    row_number window — shuffle on the id, bounded state per group."""
+    from pyspark.sql import Window
+
+    toks = docs.select(id_col, F.explode(_clean_tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(dfreq, "tok").withColumn(
+        "score", F.floor(F.col("tf") * 1000000 / F.col("df")).cast("long")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "tok", "tf", "df", "score")
+    )

@@ -1242,6 +1242,144 @@ def q_line_dedup(spark, sf_dir):
     return remove_common_lines(d, max_df=1)
 
 
+_PARA_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+l AS (SELECT doc_id, CASE WHEN len(toks) > 0 THEN
+        [array_to_string(toks[(i*20+1):(i*20+20)], ' ')
+         for i in generate_series(0, cast(ceil(len(toks)/20.0) AS BIGINT) - 1)]
+      ELSE []::VARCHAR[] END AS paras FROM t),
+e AS (SELECT doc_id, unnest(paras) AS para,
+             generate_subscripts(paras, 1) AS p_idx FROM l),
+r AS (SELECT doc_id, para, p_idx,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, p_idx) AS rn
+      FROM e),
+k AS (SELECT doc_id, para, p_idx FROM r WHERE rn = 1),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(para, ' ' ORDER BY p_idx) AS clean_text
+      FROM k GROUP BY doc_id)
+SELECT l.doc_id, len(l.paras)::BIGINT AS n_paras,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM l LEFT JOIN a USING (doc_id)
+"""
+
+
+@register("paragraph_dedup", _PARA_DEDUP_SQL)
+def q_paragraph_dedup(spark, sf_dir):
+    """RefinedWeb/Dolma-style corpus-global exact paragraph dedup,
+    keep-first: every later exact copy of a paragraph is dropped and
+    docs are rebuilt in order. Deterministic 20-token chunks stand in
+    for paragraphs (the driver corpus has no newlines; the operator
+    takes any array<string> column)."""
+    from dedup.corpus import chunk_lines_expr, keep_first_paragraphs
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", chunk_lines_expr("text", width=20).alias("paras")
+    )
+    return keep_first_paragraphs(d)
+
+
+# url synthesized identically on both sides (the driver corpus has no
+# url column): mixed-case registrable part exercises host lowering,
+# userinfo/port variants exercise the authority parse, and the www/mN
+# subdomain split gives each apex domain several distinct hosts.
+_URL_SYNTH_SQL = (
+    "'https://' || CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN 'www' ELSE 'm' || (doc_id % 5) END"
+    " || '.' || source || '.OrG'"
+    " || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END"
+    " || '/p/' || doc_id"
+)
+
+_DOMAIN_STATS_SQL = f"""
+WITH u AS (SELECT doc_id, lang, text, {_URL_SYNTH_SQL} AS url FROM documents),
+h AS (SELECT lang, length(text)::BIGINT AS n_chars,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+               AS host FROM u),
+d AS (SELECT *, CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
+                     THEN host
+                     ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+               AS domain FROM h)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM d GROUP BY domain
+"""
+
+
+@register("domain_stats", _DOMAIN_STATS_SQL)
+def q_domain_stats(spark, sf_dir):
+    """Per-apex-domain crawl report (docs, hosts, langs, chars): the
+    curation view that decides per-domain caps/blocklists. Host/apex
+    extraction is pure codegen; one domain-keyed hash aggregate."""
+    from dedup.corpus import domain_stats
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("u:p@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www")).otherwise(
+            F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"))
+        ),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".OrG"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return domain_stats(d.withColumn("url", url))
+
+
+_STRAT_SAMPLE_SQL = """
+WITH b AS (SELECT doc_id, lang,
+             ((doc_id % 1000003) * 2654435761 + 40503) % 1048576 AS bucket
+           FROM documents)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 786432 WHEN 'de' THEN 524288
+                         WHEN 'fr' THEN 393216 ELSE 262144 END
+"""
+
+
+@register("stratified_sample", _STRAT_SAMPLE_SQL)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (multilingual corpus
+    rebalancing): pure integer hash filter — stable across reruns and
+    partitionings, unlike df.sample(). Rates en .75 / de .5 / fr .375 /
+    default .25 as exact 2^20-denominator thresholds."""
+    from dedup.corpus import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, rates={"en": 0.75, "de": 0.5, "fr": 0.375}, default_rate=0.25
+    )
+
+
+_TFIDF_SQL = f"""
+WITH e AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             floor(tf.tf * 1000000 / df.df)::BIGINT AS score
+      FROM tf JOIN df USING (tok)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok ASC) AS rn FROM s)
+SELECT doc_id, tok, tf, df, score FROM r WHERE rn <= 3
+"""
+
+
+@register("tfidf_topk", _TFIDF_SQL)
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 salient tokens by integer TF-IDF surrogate
+    floor(tf·10^6/df) — log-free so the oracle binds exactly; total
+    tie order (score desc, tok asc)."""
+    from dedup.corpus import tfidf_topk
+
+    return tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # I. clustering — the flagship near-dup pipeline
 # ---------------------------------------------------------------------------
@@ -1908,6 +2046,7 @@ def q_grouping_sets_report(spark, sf_dir):
 #: record. Keep any NEW qkey ahead of the r2-green block.
 _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
+    "domain_stats", "paragraph_dedup", "stratified_sample", "tfidf_topk",
     "cube_report", "grouping_sets_report", "sink_partitioned",
     "bucketed_join", "redact_pii", "pack_chunks", "cross_corpus_neardup",
     "ann_ivf_full",

@@ -300,3 +300,128 @@ def test_decontaminate_clean_corpus(spark):
     assert by[0].contaminated and by[1].contaminated  # bench ∩ itself
     assert not any(by[i].contaminated for i in (2, 3, 4, 5))
     assert all(by[i].n_hits == 0 for i in (2, 3, 4, 5))
+
+
+def test_host_and_apex_domain_exprs(spark):
+    from dedup.corpus import apex_domain_expr, host_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://u:p@WWW.Sub.Example.ORG:8080/p?q=1#f"),
+            (2, "http://localhost/x"),
+            (3, "ftp+ssh://a.b.co"),
+            (4, "not a url"),
+            (5, "https://example.org"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: (r.h, r.a)
+        for r in df.select(
+            "doc_id",
+            host_expr("url").alias("h"),
+            apex_domain_expr("url").alias("a"),
+        ).collect()
+    }
+    assert got[1] == ("www.sub.example.org", "example.org")
+    assert got[2] == ("localhost", "localhost")  # single label -> host
+    assert got[3] == ("a.b.co", "b.co")
+    assert got[4] == ("", "")  # unparsable -> empty, never a throw
+    assert got[5] == ("example.org", "example.org")
+
+
+def test_domain_stats_aggregation(spark):
+    from dedup.corpus import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.x.org/1", "en", "aaaa"),
+            (2, "https://b.x.org/2", "de", "bb"),
+            (3, "https://a.x.org/3", "en", "c"),
+            (4, "https://y.net/1", "en", "dd"),
+        ],
+        "doc_id long, url string, lang string, text string",
+    )
+    got = {r.domain: r.asDict() for r in domain_stats(df).collect()}
+    assert got["x.org"]["n_docs"] == 3
+    assert got["x.org"]["n_hosts"] == 2
+    assert got["x.org"]["n_langs"] == 2
+    assert got["x.org"]["total_chars"] == 7
+    assert got["y.net"]["n_docs"] == 1 and got["y.net"]["n_hosts"] == 1
+
+
+def test_keep_first_paragraphs_semantics(spark):
+    from dedup.corpus import keep_first_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, ["P", "Q", "P"]),  # intra-doc dup: second P dropped
+            (2, ["Q", "R"]),  # cross-doc dup: Q already seen in doc 1
+            (3, ["P"]),  # everything already seen -> n_kept 0
+            (4, []),  # empty doc keeps a row
+        ],
+        "doc_id long, paras array<string>",
+    )
+    got = {r.doc_id: r.asDict() for r in keep_first_paragraphs(df).collect()}
+    assert got[1] == {"doc_id": 1, "n_paras": 3, "n_kept": 2, "clean_text": "P Q"}
+    assert got[2] == {"doc_id": 2, "n_paras": 2, "n_kept": 1, "clean_text": "R"}
+    assert got[3] == {"doc_id": 3, "n_paras": 1, "n_kept": 0, "clean_text": ""}
+    assert got[4] == {"doc_id": 4, "n_paras": 0, "n_kept": 0, "clean_text": ""}
+
+
+def test_keep_first_paragraphs_total_kept_is_distinct_count(spark):
+    """Across the corpus exactly one copy of every distinct paragraph
+    survives — the keep-first invariant, independent of partitioning."""
+    from dedup.corpus import keep_first_paragraphs
+
+    rows = [(i, [f"p{(i * 7 + j) % 13}" for j in range(5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, paras array<string>").repartition(8)
+    out = keep_first_paragraphs(df)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    n_distinct = (
+        df.select(F.explode("paras").alias("p")).select("p").distinct().count()
+    )
+    assert total_kept == n_distinct == 13
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    from dedup.corpus import SAMPLE_DENOM, sample_hash_expr, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out1 = stratified_sample(df, rates={"en": 0.5}, default_rate=0.1)
+    out2 = stratified_sample(df.repartition(7), rates={"en": 0.5}, default_rate=0.1)
+    r1 = sorted(tuple(r) for r in out1.collect())
+    assert r1 == sorted(tuple(r) for r in out2.collect())  # layout-independent
+    # every kept row satisfies its stratum threshold; buckets match the hash
+    h = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", sample_hash_expr("doc_id").alias("b")
+        ).collect()
+    }
+    for doc_id, lang, bucket in r1:
+        assert bucket == h[doc_id]
+        assert bucket < int((0.5 if lang == "en" else 0.1) * SAMPLE_DENOM)
+
+
+def test_tfidf_topk_semantics(spark):
+    from dedup.corpus import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare common"),
+            (2, "common other"),
+            (3, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=1)
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+    # doc 1: 'rare' tf=2 df=1 -> 2e6 beats 'common' tf=1 df=3
+    assert got[1]["tok"] == "rare" and got[1]["score"] == 2_000_000
+    # doc 2: 'other' df=1 score 1e6 beats 'common' 333333
+    assert got[2]["tok"] == "other"
+    assert got[3]["tok"] == "unique"
