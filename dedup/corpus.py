@@ -563,3 +563,102 @@ def tfidf_topk(
         .filter(F.col("rn") <= k)
         .select(id_col, "tok", "tf", "df", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain caps + filter funnel report
+# ---------------------------------------------------------------------------
+
+#: broadcast the over-cap domain set only below this many rows — the
+#: counted-gate discipline (BOILER_BROADCAST_MAX etc.); domains
+#: exceeding a cap are normally a tiny head of the domain distribution.
+OVERCAP_BROADCAST_MAX = 2_000_000
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    broadcast_over: bool | None = None,
+) -> DataFrame:
+    """Per-domain document cap (anti-spam / diversity curation: no apex
+    domain contributes more than ``cap`` pages). The kept subset per
+    over-cap domain is the ``cap`` lowest (sample-hash, id) rows — a
+    deterministic pseudo-random selection, stable across reruns and
+    partitionings. Returns (id, domain) for every kept doc.
+
+    Scale shape — two-path: a slim domain-count aggregate (map-side
+    combine) finds the over-cap domains; under-cap docs PASS THROUGH via
+    an anti-join against that (counted-gate broadcast) set — no window,
+    no sort; only over-cap domains' rows (the skewed head, a tiny
+    corpus fraction) enter the per-domain row_number window. A
+    pathological mega-domain still sorts in one window partition — the
+    refinement at that extreme is a salted two-phase per-domain top-k
+    (partial top-cap per salt, re-rank winners), same shape as
+    skew.salted_join."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        id_col,
+        apex_domain_expr(url_col).alias("domain"),
+        sample_hash_expr(id_col).cast("long").alias("_h"),
+    )
+    over = (
+        d.groupBy("domain")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select("domain")
+    )
+    if broadcast_over is None:
+        over = over.persist()
+        broadcast_over = over.count() <= OVERCAP_BROADCAST_MAX
+    ob = F.broadcast(over) if broadcast_over else over
+    under = d.join(ob, "domain", "left_anti").select(id_col, "domain")
+    w = Window.partitionBy("domain").orderBy("_h", id_col)
+    capped = (
+        d.join(ob, "domain", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select(id_col, "domain")
+    )
+    return under.unionByName(capped)
+
+
+def filter_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_chars: int = 200,
+    min_tokens: int = 40,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+) -> DataFrame:
+    """Curation-funnel observability (the per-stage survivor counts
+    every CCNet/Dolma-style pipeline reports): docs surviving each
+    successive quality gate — length, token count, bigram repetition
+    (distinct ≥ half of total, compared in exact integers — never a
+    rounded ratio), language allowlist. Returns one row per stage:
+    (stage_idx, stage, n_docs), n_docs cumulative.
+
+    Scale shape: every gate is a pure codegen flag; the funnel is ONE
+    global aggregate over the scan (conditional sums, map-side partial)
+    unpivoted by a constant ``stack`` — a 100 TB funnel costs one pass
+    and shuffles 5 numbers."""
+    rc = repetition_counts(text_col, n=2)
+    stages = [
+        ("len_ok", F.length(text_col) >= min_chars),
+        ("tok_ok", F.size(_clean_tokens(text_col)) >= min_tokens),
+        ("rep_ok", rc["n_distinct_ngrams"] * 2 >= rc["n_ngrams"]),
+        ("lang_ok", F.col(lang_col).isin(list(langs))),
+    ]
+    aggs = [F.count("*").cast("long").alias("s0")]
+    cum = None
+    for i, (_, cond) in enumerate(stages, 1):
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"s{i}"))
+    one = docs.agg(*aggs)
+    names = ["total"] + [n for n, _ in stages]
+    args = ", ".join(f"{i}, '{n}', s{i}" for i, n in enumerate(names))
+    return one.select(
+        F.expr(f"stack({len(names)}, {args}) as (stage_idx, stage, n_docs)")
+    )

@@ -1380,6 +1380,80 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(load(spark, sf_dir, "documents"), k=3)
 
 
+_DOMAIN_CAP_SQL = f"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+h AS (SELECT doc_id,
+             ((doc_id % 1000003) * 2654435761 + 40503) % 1048576 AS hb,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+               AS host FROM u),
+d AS (SELECT doc_id, hb,
+             CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
+                  THEN host
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+               AS domain FROM h),
+r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY hb, doc_id) AS rn FROM d)
+SELECT doc_id, domain FROM r WHERE rn <= 10
+"""
+
+
+@register("domain_cap", _DOMAIN_CAP_SQL)
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap at 10 pages over the synthesized crawl
+    urls: deterministic lowest-(hash, id) selection; the Spark path is
+    the two-path plan (under-cap domains pass through a counted-gate
+    broadcast anti-join, only over-cap domains enter the window)."""
+    from dedup.corpus import cap_per_domain
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("u:p@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www")).otherwise(
+            F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"))
+        ),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".OrG"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return cap_per_domain(d.withColumn("url", url), cap=10)
+
+
+_FUNNEL_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents),
+g AS (SELECT *, {_grams_sql(2)} AS grams FROM t),
+c AS (SELECT length(text) >= 200 AS c1, len(toks) >= 40 AS c2,
+             len(list_distinct(grams)) * 2 >= len(grams) AS c3,
+             lang IN ('en', 'de', 'fr') AS c4 FROM g),
+f AS (SELECT count(*)::BIGINT AS s0,
+             sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS s1,
+             sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END)::BIGINT AS s2,
+             sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END)::BIGINT AS s3,
+             sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END)::BIGINT
+               AS s4 FROM c)
+SELECT 0 AS stage_idx, 'total' AS stage, s0 AS n_docs FROM f
+UNION ALL SELECT 1, 'len_ok', s1 FROM f
+UNION ALL SELECT 2, 'tok_ok', s2 FROM f
+UNION ALL SELECT 3, 'rep_ok', s3 FROM f
+UNION ALL SELECT 4, 'lang_ok', s4 FROM f
+"""
+
+
+@register("filter_funnel", _FUNNEL_SQL)
+def q_filter_funnel(spark, sf_dir):
+    """Curation-funnel report: cumulative survivor counts through the
+    length / token / repetition / language gates — one aggregate pass,
+    unpivoted by a constant stack."""
+    from dedup.corpus import filter_funnel
+
+    return filter_funnel(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # I. clustering — the flagship near-dup pipeline
 # ---------------------------------------------------------------------------
@@ -2047,6 +2121,7 @@ def q_grouping_sets_report(spark, sf_dir):
 _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
     "domain_stats", "paragraph_dedup", "stratified_sample", "tfidf_topk",
+    "domain_cap", "filter_funnel",
     "cube_report", "grouping_sets_report", "sink_partitioned",
     "bucketed_join", "redact_pii", "pack_chunks", "cross_corpus_neardup",
     "ann_ivf_full",

@@ -425,3 +425,47 @@ def test_tfidf_topk_semantics(spark):
     # doc 2: 'other' df=1 score 1e6 beats 'common' 333333
     assert got[2]["tok"] == "other"
     assert got[3]["tok"] == "unique"
+
+
+def test_cap_per_domain_semantics_and_gate(spark):
+    from dedup.corpus import cap_per_domain
+
+    # d1.org: 6 docs (over cap 3) / d2.org: 2 docs (under -> pass through)
+    rows = [(i, "https://a.d1.org/x") for i in range(6)] + [
+        (10, "https://b.d2.org/x"),
+        (11, "https://c.d2.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = cap_per_domain(df, cap=3)
+    got = sorted((r.domain, r.doc_id) for r in out.collect())
+    by_dom = {}
+    for dom, i in got:
+        by_dom.setdefault(dom, []).append(i)
+    assert len(by_dom["d1.org"]) == 3
+    assert sorted(by_dom["d2.org"]) == [10, 11]  # under-cap untouched
+    # both gate paths and any partitioning pick the identical subset
+    for alt in (
+        cap_per_domain(df, cap=3, broadcast_over=False),
+        cap_per_domain(df.repartition(5), cap=3, broadcast_over=True),
+    ):
+        assert sorted((r.domain, r.doc_id) for r in alt.collect()) == got
+
+
+def test_filter_funnel_counts(spark):
+    from dedup.corpus import filter_funnel
+
+    long_en = "tok " * 60  # 240 chars, 60 tokens, zero repeated bigrams? all same!
+    varied_en = " ".join(f"w{i}" for i in range(60)) + " " + "x" * 60
+    df = spark.createDataFrame(
+        [
+            (1, varied_en, "en"),  # survives all gates
+            (2, long_en, "en"),  # repetitive: all bigrams identical -> rep fail
+            (3, "short", "en"),  # len fail
+            (4, varied_en, "ja"),  # lang fail
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.stage: r.n_docs for r in filter_funnel(df).collect()}
+    assert got == {"total": 4, "len_ok": 3, "tok_ok": 3, "rep_ok": 2, "lang_ok": 1}
+    idx = {r.stage: r.stage_idx for r in filter_funnel(df).collect()}
+    assert idx == {"total": 0, "len_ok": 1, "tok_ok": 2, "rep_ok": 3, "lang_ok": 4}
