@@ -217,6 +217,16 @@ def parse(
             f"shW {m['sw_b']/1e9:5.2f}GB shR {m['sr_b']/1e9:5.2f}GB]  {d}"
         )
 
+    # --- unlabeled jobs: name them by callsite so "(none)" rollup rows
+    # are attributable (open-thread item: ~3 task-s of unlabeled work) ---
+    unl = [(jid, v) for jid, v in sorted(timed.items()) if not v["desc"]]
+    if unl:
+        print("  unlabeled jobs (stage callsites):")
+        for jid, v in unl:
+            names = {stage_names.get(s, "?") for s in v["stages"]}
+            tt = sum(task_time.get(s, 0.0) for s in v["stages"]) / 1000
+            print(f"    job {jid}: {tt:6.1f}s task∑  {sorted(names)}")
+
     # --- core-occupancy timeline over the timed run: the time spent at
     # ≤1 running task is the true serial (Amdahl) component ---
     t0 = min(v["start"] for v in timed.values())
@@ -329,6 +339,12 @@ def main() -> None:
     ap.add_argument("--warm-runs", type=int, default=1)
     args = ap.parse_args()
     path = os.path.join("/tmp", f"bench_pages_{args.n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # /tmp is cleared between sessions — regenerate the cached corpus
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_scaling import make_input
+
+        make_input(args.n_docs)
     probe_before = _host_probe()
     results = []
     for c in args.cores.split(","):
