@@ -494,9 +494,15 @@ def sample_hash_expr(col: str | Column) -> Column:
     a multiplicative (Knuth) hash in plain BIGINT arithmetic — chosen
     over xxhash64 so the SQL oracle twin computes the identical value
     (DuckDB has no xxhash64). The id is folded mod 1000003 first so the
-    multiply stays far inside int64 under ANSI overflow checking."""
+    multiply stays far inside int64 under ANSI overflow checking; the
+    fold uses ``pmod`` so negative ids still land in [0, 2^20) (plain
+    ``%`` keeps the sign in both Spark and DuckDB — a negative bucket
+    would pass every threshold). For non-negative ids this equals the
+    plain-``%`` form the oracles use."""
     c = F.col(col) if isinstance(col, str) else col
-    return ((c % 1000003) * F.lit(2654435761) + F.lit(40503)) % F.lit(SAMPLE_DENOM)
+    return (F.pmod(c, F.lit(1000003)) * F.lit(2654435761) + F.lit(40503)) % F.lit(
+        SAMPLE_DENOM
+    )
 
 
 def stratified_sample(

@@ -469,3 +469,13 @@ def test_filter_funnel_counts(spark):
     assert got == {"total": 4, "len_ok": 3, "tok_ok": 3, "rep_ok": 2, "lang_ok": 1}
     idx = {r.stage: r.stage_idx for r in filter_funnel(df).collect()}
     assert idx == {"total": 0, "len_ok": 1, "tok_ok": 2, "rep_ok": 3, "lang_ok": 4}
+
+
+def test_sample_hash_negative_ids_in_range(spark):
+    from dedup.corpus import SAMPLE_DENOM, sample_hash_expr
+
+    df = spark.createDataFrame(
+        [(-5,), (-1000004,), (0,), (7,)], "doc_id long"
+    ).select(sample_hash_expr("doc_id").alias("b"))
+    for (b,) in df.collect():
+        assert 0 <= b < SAMPLE_DENOM

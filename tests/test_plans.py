@@ -216,3 +216,32 @@ def test_no_per_row_python_anywhere_in_harness():
     for name, fn in e.queries().items():
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} uses per-row Python"
+
+
+def test_stratified_sample_is_exchange_free(spark):
+    """stratified_sample's docstring claims a single codegen filter
+    over the scan: no Exchange, no sample(), no Python anywhere."""
+    from dedup.corpus import stratified_sample
+
+    df = stratified_sample(
+        spark.read.parquet(f"{SF}/documents.parquet"),
+        rates={"en": 0.5},
+        default_rate=0.25,
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan[:400]
+    assert "Sample" not in plan
+    assert plan.lstrip().startswith("*("), "filter must be codegen'd"
+
+
+def test_filter_funnel_single_aggregate_pass(spark):
+    """filter_funnel claims ONE aggregate pass: a partial aggregate
+    before exactly one SinglePartition exchange (5 numbers cross it),
+    never a per-stage re-scan of the corpus."""
+    from dedup.corpus import filter_funnel
+
+    df = filter_funnel(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan, plan[:600]
+    assert plan.count("Scan parquet") == 1, "funnel must be one corpus pass"
+    assert "partial_count(1)" in plan or "partial" in plan.lower()
