@@ -407,11 +407,14 @@ def domain_stats(
     domain: (domain, n_docs, n_hosts, n_langs, total_chars).
 
     Scale shape: host/apex extraction is a pure codegen projection over
-    the scan; the report is ONE hash aggregate keyed by domain with
-    map-side partial combine (the two ``count_distinct`` expand to the
-    standard distinct-aggregate two-phase plan — per-task distinct
-    (domain, host/lang) pairs cross the shuffle, bounded far below the
-    row count). No Python, no window, no join."""
+    the scan. Two DIFFERENT-column ``count_distinct`` force Catalyst's
+    gid-Expand plan: each row expands ×3 (one branch per distinct
+    column + one for the plain aggregates) into a per-task
+    (domain, host, lang, gid)-keyed PARTIAL aggregate, so the first
+    shuffle carries per-task distinct expanded keys — bounded by ~3×
+    the distinct (domain, host, lang) triple count, far below the row
+    count — and a second domain-keyed exchange finishes (plan pinned in
+    tests/test_plans.py). No Python, no window, no join."""
     d = docs.select(
         apex_domain_expr(url_col).alias("domain"),
         host_expr(url_col).alias("host"),

@@ -245,3 +245,25 @@ def test_filter_funnel_single_aggregate_pass(spark):
     assert plan.count("Exchange") == 1 and "SinglePartition" in plan, plan[:600]
     assert plan.count("Scan parquet") == 1, "funnel must be one corpus pass"
     assert "partial_count(1)" in plan or "partial" in plan.lower()
+
+
+def test_domain_stats_distinct_expand_shape(spark):
+    """domain_stats' docstring describes the gid-Expand plan its two
+    different-column count_distincts force: Expand feeding a per-task
+    (domain, host, lang, gid)-keyed PARTIAL aggregate before the first
+    exchange (the shuffle never carries raw rows), then one final
+    domain-keyed exchange — exactly two exchanges total."""
+    from pyspark.sql import functions as F
+
+    from dedup.corpus import domain_stats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("https://a."), F.col("source"), F.lit(".org/p"))
+    )
+    plan = _plan(domain_stats(d))
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 2, plan[:600]
+    # a partial aggregate keyed by the expanded tuple precedes the
+    # first exchange (reading bottom-up: last Exchange in the string)
+    below_first_exchange = plan.rsplit("Exchange", 1)[1]
+    assert "partial_count" in below_first_exchange or "partial_sum" in below_first_exchange
