@@ -184,3 +184,84 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(df, **kw).collect()
         }
         assert got == want, (trial, force_loop)
+
+
+# -- corpus curation operators vs pure-Python references -------------------
+
+
+def test_keep_first_paragraphs_fuzz_vs_python(spark):
+    """Random corpora with heavy paragraph reuse: the Spark op must
+    equal the obvious sequential keep-first reference exactly."""
+    rng = random.Random(77)
+    rows = [
+        (i, [f"p{rng.randrange(9)}" for _ in range(rng.randrange(6))])
+        for i in range(60)
+    ]
+    from dedup.corpus import keep_first_paragraphs
+
+    df = spark.createDataFrame(rows, "doc_id long, paras array<string>")
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.clean_text)
+        for r in keep_first_paragraphs(df.repartition(7)).collect()
+    }
+    seen: set[str] = set()
+    for i, paras in rows:  # rows are in (doc_id, pos) order already
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got[i] == (len(paras), len(kept), " ".join(kept)), i
+
+
+def test_cap_per_domain_fuzz_vs_python(spark):
+    """cap_per_domain must keep, per domain, exactly the cap lowest
+    (hash, id) rows — checked against a Python argsort reference."""
+    from dedup.corpus import SAMPLE_DENOM, cap_per_domain
+
+    rng = random.Random(13)
+    doms = ["a.org", "b.net", "c.io", "d.co"]
+    rows = [(i, f"https://www.{rng.choice(doms)}/p") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = sorted((r.domain, r.doc_id) for r in cap_per_domain(df, cap=15).collect())
+
+    def h(i):
+        return ((i % 1000003) * 2654435761 + 40503) % SAMPLE_DENOM
+
+    exp = []
+    for dom in doms:
+        ids = [i for i, u in rows if dom in u]
+        exp += [(dom, i) for i in sorted(ids, key=lambda i: (h(i), i))[:15]]
+    assert got == sorted(exp)
+
+
+def test_tfidf_topk_fuzz_vs_python(spark):
+    """tfidf_topk vs a Counter-based reference, including the total
+    (score desc, tok asc) tie order at the k boundary."""
+    from collections import Counter
+
+    from dedup.corpus import tfidf_topk
+
+    rng = random.Random(5)
+    vocab = [f"w{j}" for j in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.tok, r.tf, r.df, r.score) for r in tfidf_topk(df, k=3).collect()
+    )
+    tfs = {i: Counter(t.split()) for i, t in rows}
+    dfreq = Counter(tok for c in tfs.values() for tok in c)
+    exp = []
+    for i, c in tfs.items():
+        scored = sorted(
+            (
+                (tok, tf, dfreq[tok], tf * 1000000 // dfreq[tok])
+                for tok, tf in c.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:3]
+        exp += [(i, tok, tf, d, s) for tok, tf, d, s in scored]
+    assert got == sorted(exp)
