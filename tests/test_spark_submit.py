@@ -90,3 +90,59 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert tio.read("clusters").count() == n_docs
     stages = {r.stage for r in tio.read("lineage").select("stage").collect()}
     assert {"docs", "signatures", "edges", "clusters", "report"} <= stages
+
+
+@pytest.mark.skipif(
+    not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+    reason="spark-submit binary not available",
+)
+def test_spark_submit_curate_job(tmp_path):
+    """The curation job ships the same way: zip-only imports (including
+    dedup.jobrunner, the shared stage machinery) + standalone job file."""
+    import pyspark  # noqa: F401
+
+    zpath = _zip_dedup(str(tmp_path))
+    wh = str(tmp_path / "wh_curate")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env.setdefault("SPARK_DRIVER_MEM", "4g")
+    job_dir = tmp_path / "jobs"
+    job_dir.mkdir()
+    job = str(job_dir / "curate_corpus.py")
+    shutil.copyfile(os.path.join(REPO, "jobs", "curate_corpus.py"), job)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--driver-memory", "4g",
+            "--py-files", zpath,
+            job,
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input-kind", "documents",
+            "--warehouse", wh,
+            "--run-id", "curate-e2e",
+            "--min-chars", "80",
+            "--min-tokens", "10",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["ran"] == [
+        "docs", "signals", "funnel", "signatures", "edges", "clusters",
+        "report", "deduped", "corpus",
+    ]
+    from dedup.session import get_spark
+    from dedup.tableio import TableIO
+
+    spark = get_spark(master="local[4]")
+    tio = TableIO(spark, wh, backend="parquet")
+    assert tio.read("corpus").count() > 0
+    assert {r.stage for r in tio.read("funnel").collect()} == {
+        "total", "len_ok", "tok_ok", "rep_ok", "kept"
+    }
