@@ -161,15 +161,36 @@ def dedup_stages(
     return clusters
 
 
+def ingest_stage(
+    r: Runner, pages: DataFrame, assume_unique_urls: bool = False
+) -> DataFrame:
+    """Committed docs stage. ``assume_unique_urls`` (the CLI's
+    --assume-unique-urls) skips the latest-capture-per-url aggregation —
+    the ingest's single largest shuffle (it carries the full text
+    payload) — for crawls the caller KNOWS are pre-deduplicated by url.
+    On multi-capture input the flag changes the output (duplicate urls
+    survive), so it is folded into the stage's resume key: flipping it
+    on an existing run id recomputes ingest and everything downstream
+    instead of silently reusing the other semantics' snapshot."""
+    uk = "-uniq" if assume_unique_urls else ""
+    docs = r.stage(
+        "docs",
+        lambda: to_docs(pages, r.cfg, assume_unique_urls=assume_unique_urls),
+        sort_within=["doc_id"],
+        extra_key=uk,
+    )
+    return docs
+
+
 def run_dedup_job(
     spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame,
-    use_containment: bool = False,
+    use_containment: bool = False, assume_unique_urls: bool = False,
 ) -> Runner:
     """The full run_dedup stage graph: ingest + dedup chain."""
     r = Runner(spark, tio, cfg, run_id)
-    docs = r.stage("docs", lambda: to_docs(pages, cfg), sort_within=["doc_id"])
-    docs = docs.persist()
+    uk = "-uniq" if assume_unique_urls else ""
+    docs = ingest_stage(r, pages, assume_unique_urls).persist()
     docs.count()
-    dedup_stages(r, docs, use_containment=use_containment)
+    dedup_stages(r, docs, use_containment=use_containment, extra_key=uk)
     docs.unpersist()
     return r

@@ -48,8 +48,12 @@ from pyspark.sql import DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from dedup.config import DEFAULT_CONFIG, DedupConfig  # noqa: E402
-from dedup.jobrunner import Runner, dedup_stages, load_pages  # noqa: E402
-from dedup.ingest import to_docs  # noqa: E402
+from dedup.jobrunner import (  # noqa: E402
+    Runner,
+    dedup_stages,
+    ingest_stage,
+    load_pages,
+)
 from dedup.tableio import TableIO  # noqa: E402
 
 
@@ -111,17 +115,18 @@ def run_curate(
     sample_rates: dict[str, float] | None = None,
     sample_default_rate: float = 1.0,
     chunk_capacity: int = 2048,
+    assume_unique_urls: bool = False,
 ) -> Runner:
     r = Runner(spark, tio, cfg, run_id)
-    gk = f"-g{min_chars},{min_tokens},{','.join(langs or [])}"
+    uk = "-uniq" if assume_unique_urls else ""
+    gk = f"{uk}-g{min_chars},{min_tokens},{','.join(langs or [])}"
     sk = gk + (
         f"-s{json.dumps(sample_rates, sort_keys=True)},{sample_default_rate}"
         if sample_rates is not None
         else ""
     )
 
-    docs = r.stage("docs", lambda: to_docs(pages, cfg), sort_within=["doc_id"])
-    docs = docs.persist()
+    docs = ingest_stage(r, pages, assume_unique_urls).persist()
     docs.count()
 
     signals = r.stage(
@@ -207,6 +212,12 @@ def main(argv=None) -> None:
     )
     ap.add_argument("--sample-default-rate", type=float, default=1.0)
     ap.add_argument("--chunk-capacity", type=int, default=2048)
+    ap.add_argument(
+        "--assume-unique-urls",
+        action="store_true",
+        help="input is pre-deduplicated by url: skip the latest-capture "
+        "aggregation (the ingest's largest shuffle)",
+    )
     args = ap.parse_args(argv)
 
     cfg = DEFAULT_CONFIG
@@ -231,6 +242,7 @@ def main(argv=None) -> None:
         sample_rates=json.loads(args.sample_rates) if args.sample_rates else None,
         sample_default_rate=args.sample_default_rate,
         chunk_capacity=args.chunk_capacity,
+        assume_unique_urls=args.assume_unique_urls,
     )
     print(json.dumps({"run_id": args.run_id, "ran": r.ran, "skipped": r.skipped}))
 

@@ -54,6 +54,12 @@ def main(argv=None) -> None:
         help="also emit suffix-array 'substr' containment edges (E5) and "
         "include them in clustering",
     )
+    ap.add_argument(
+        "--assume-unique-urls",
+        action="store_true",
+        help="input is pre-deduplicated by url: skip the latest-capture "
+        "aggregation (the ingest's largest shuffle)",
+    )
     args = ap.parse_args(argv)
 
     cfg = DEFAULT_CONFIG
@@ -67,7 +73,8 @@ def main(argv=None) -> None:
     tio = TableIO(spark, args.warehouse)
     pages = load_pages(spark, args.input, args.input_kind)
     r = run(spark, tio, cfg, args.run_id, pages,
-            use_containment=args.use_containment)
+            use_containment=args.use_containment,
+            assume_unique_urls=args.assume_unique_urls)
     print(json.dumps({"run_id": args.run_id, "ran": r.ran, "skipped": r.skipped}))
 
 

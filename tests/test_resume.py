@@ -266,3 +266,31 @@ def test_staged_run_with_containment(spark, tmp_path):
     # and re-running the ORIGINAL flag value resumes everything
     r3 = run(spark, tio, cfg, "runC", pages, use_containment=True)
     assert r3.ran == []
+
+
+def test_assume_unique_urls_flag_keyed_and_equivalent(spark, tiny_pages_df, tmp_path):
+    """--assume-unique-urls skips the latest-capture agg; on unique-url
+    input the committed docs are identical, and the flag is part of the
+    docs resume key so flipping it on the same run id recomputes ingest
+    (and downstream) instead of reusing the other semantics' snapshot."""
+    from pyspark.sql import functions as F
+
+    from jobs.run_dedup import run
+
+    # unique-url slice (tiny_pages carries dup CONTENT, urls are unique)
+    pages = tiny_pages_df.limit(200)
+    assert pages.count() == pages.select("url").distinct().count()
+
+    tio = TableIO(spark, str(tmp_path / "wh_uniq"), backend="parquet")
+    r1 = run(spark, tio, DEFAULT_CONFIG, "u1", pages)
+    docs1 = {(x.doc_id, x.content_sha) for x in tio.read("docs").collect()}
+
+    r2 = run(spark, tio, DEFAULT_CONFIG, "u1", pages, assume_unique_urls=True)
+    assert "docs" in r2.ran, "flag flip must recompute the ingest stage"
+    assert "edges" in r2.ran, "downstream stages must recompute too"
+    docs2 = {(x.doc_id, x.content_sha) for x in tio.read("docs").collect()}
+    assert docs1 == docs2  # unique-url input: identical committed docs
+
+    # same flag again -> full resume
+    r3 = run(spark, tio, DEFAULT_CONFIG, "u1", pages, assume_unique_urls=True)
+    assert r3.ran == []
