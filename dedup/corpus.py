@@ -671,3 +671,27 @@ def filter_funnel(
     return one.select(
         F.expr(f"stack({len(names)}, {args}) as (stage_idx, stage, n_docs)")
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    by: str = "lang",
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Per-stratum exact (interpolated) quantiles of a numeric column —
+    the threshold-selection view behind the curation gates (where should
+    min_chars sit for each language?). Returns (by, n_docs, p10, p50,
+    p90, …) with Spark's exact ``percentile`` aggregate, which computes
+    the identical pos = q·(n−1) linear interpolation as DuckDB's
+    ``quantile_cont`` (bit-equal on integer inputs — oracle-verified).
+
+    Scale shape: ONE hash aggregate; exact percentile buffers the
+    stratum's values, so this is for bounded-cardinality strata whose
+    groups fit an executor (languages: dozens). For unbounded strata or
+    trillion-row groups use ``approx_percentile`` (the approx_metrics
+    operator) — same plan, sketch-sized state."""
+    aggs = [F.count("*").cast("long").alias("n_docs")] + [
+        F.percentile(value_col, F.lit(q)).alias(f"p{int(q * 100)}") for q in qs
+    ]
+    return docs.groupBy(by).agg(*aggs)

@@ -1454,6 +1454,26 @@ def q_filter_funnel(spark, sf_dir):
     return filter_funnel(load(spark, sf_dir, "documents"))
 
 
+_LEN_QUANT_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       quantile_cont(n_chars, 0.1) AS p10,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90
+FROM documents GROUP BY lang
+"""
+
+
+@register("length_quantiles", _LEN_QUANT_SQL)
+def q_length_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles (gate-threshold selection):
+    Spark's exact `percentile` computes the same pos = q·(n−1) linear
+    interpolation as DuckDB's quantile_cont — bit-equal on the integer
+    inputs."""
+    from dedup.corpus import length_quantiles
+
+    return length_quantiles(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # I. clustering — the flagship near-dup pipeline
 # ---------------------------------------------------------------------------
@@ -2121,7 +2141,7 @@ def q_grouping_sets_report(spark, sf_dir):
 _PRIORITY = [
     # -- round-4 additions (no driver record yet) -------------------------
     "domain_stats", "paragraph_dedup", "stratified_sample", "tfidf_topk",
-    "domain_cap", "filter_funnel",
+    "domain_cap", "filter_funnel", "length_quantiles",
     "cube_report", "grouping_sets_report", "sink_partitioned",
     "bucketed_join", "redact_pii", "pack_chunks", "cross_corpus_neardup",
     "ann_ivf_full",

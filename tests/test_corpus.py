@@ -479,3 +479,19 @@ def test_sample_hash_negative_ids_in_range(spark):
     ).select(sample_hash_expr("doc_id").alias("b"))
     for (b,) in df.collect():
         assert 0 <= b < SAMPLE_DENOM
+
+
+def test_length_quantiles_semantics(spark):
+    from dedup.corpus import length_quantiles
+
+    df = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50])]
+        + [(9, "de", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {r.lang: r.asDict() for r in length_quantiles(df).collect()}
+    assert got["en"]["n_docs"] == 5
+    assert got["en"]["p50"] == 30.0
+    assert got["en"]["p10"] == 14.0  # pos = 0.1*(5-1) = 0.4 -> 10 + 0.4*10
+    assert got["en"]["p90"] == 46.0
+    assert got["de"]["p10"] == got["de"]["p50"] == got["de"]["p90"] == 7.0
