@@ -53,7 +53,10 @@ class Runner:
         self.ran: list[str] = []
         self.skipped: list[str] = []
 
-    def stage(self, name: str, fn, sort_within=None, extra_key: str = "") -> DataFrame:
+    def stage(
+        self, name: str, fn, sort_within=None, extra_key: str = "",
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
         # extra_key folds stage-affecting flags that live OUTSIDE
         # DedupConfig (e.g. --use-containment) into the resume key, so
         # re-running a run_id with a flipped flag recomputes the affected
@@ -65,7 +68,10 @@ class Runner:
             return self.tio.read(marker["table"], marker["snapshot_id"])
         with StageTimer() as t:
             df = fn()
-            snap = self.tio.write(df, name, mode="overwrite", sort_within=sort_within)
+            snap = self.tio.write(
+                df, name, mode="overwrite", sort_within=sort_within,
+                partition_by=partition_by,
+            )
         out = self.tio.read(name, snap)
         self.tio.write(
             partition_lineage(out, self.run_id, name, t.wall_ms, snap),

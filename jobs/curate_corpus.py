@@ -185,11 +185,15 @@ def run_curate(
             "doc_id", "url", "warc_ts", "lang", "text", "norm_text", "n_chars"
         ).join(plan, "doc_id")
 
+    # the product table lands hive-partitioned by lang (SURVEY §4.3):
+    # per-language training shards read with directory pruning, and a
+    # lang-filtered consumer scan never touches other languages' files
     r.stage(
         "corpus",
         mk_corpus,
         sort_within=["doc_id"],
         extra_key=sk + f"-c{chunk_capacity}",
+        partition_by=["lang"],
     )
     kept_docs.unpersist()
     docs.unpersist()

@@ -55,6 +55,16 @@ def test_curate_job_end_to_end_and_resume(spark, tiny_pages_df, tmp_path):
     ).count()
     assert bad == 0
 
+    # the corpus table is hive-partitioned by lang (per-language shards)
+    import glob
+    import os
+
+    part_dirs = glob.glob(
+        os.path.join(str(tmp_path / "whA"), "corpus", "data", "*", "lang=*")
+    )
+    assert part_dirs, "corpus stage must land lang=<v> partition dirs"
+    assert corpus.count() == corpus.select("doc_id").distinct().count()
+
     # resume: identical invocation skips every stage
     r2 = run_curate(
         spark, tio, DEFAULT_CONFIG, "c1", pages, min_chars=80, min_tokens=10
