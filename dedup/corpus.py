@@ -524,11 +524,17 @@ def stratified_sample(
     Scale shape: a single codegen filter over the scan — NO shuffle,
     NO sample() (whose row picks depend on partition layout). The
     per-stratum threshold is a literal CASE, so predicate pushdown and
-    column pruning survive."""
-    thr = F.lit(int(default_rate * SAMPLE_DENOM))
+    column pruning survive.
+
+    Thresholds are ``round(rate * SAMPLE_DENOM)`` (nearest integer, not
+    truncation): a non-dyadic rate like 0.1 maps to 104858/2^20, the
+    closest representable keep rate — any external oracle must mirror
+    the same rounding. Dyadic rates are exact either way."""
+    thr = F.lit(int(round(default_rate * SAMPLE_DENOM)))
     for stratum, rate in sorted(rates.items()):
         thr = F.when(
-            F.col(stratum_col) == stratum, F.lit(int(rate * SAMPLE_DENOM))
+            F.col(stratum_col) == stratum,
+            F.lit(int(round(rate * SAMPLE_DENOM))),
         ).otherwise(thr)
     h = sample_hash_expr(id_col)
     return docs.select(
@@ -544,12 +550,16 @@ def stratified_sample(
 def tfidf_topk(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document top-``k`` salient tokens by an integer TF-IDF
-    surrogate: score = floor(tf * 10^6 / df) (term frequency scaled by
-    inverse document frequency as an exact integer — no logarithms, so
-    the cross-engine oracle binds without float-tie hazards). Tie order
-    (score desc, token asc) is total. Returns (id, tok, tf, df, score)
-    for the k winners per doc.
+    """Per-document top-``k`` salient tokens by a TF-IDF surrogate:
+    score = floor(tf * 10^6 / df). The division is long/long → DOUBLE
+    in both Spark and DuckDB, so the cross-engine oracle binds — the
+    floor is bit-identical while tf·10^6 and df stay inside a double's
+    53-bit integer range (df ≲ 1e7; beyond that the half-ulp at the
+    quotient can flip the floor vs exact integer division — switch the
+    scale factor down or use decimal arithmetic at web-corpus df). No
+    logarithms, so there are no float-tie hazards in the tie order
+    (score desc, token asc), which is total. Returns
+    (id, tok, tf, df, score) for the k winners per doc.
 
     Scale shape: tf = (doc, tok)-keyed hash aggregate with map-side
     combine over the exploded token stream; df = a second tok-keyed
@@ -619,8 +629,14 @@ def cap_per_domain(
         .filter(F.col("_n") > cap)
         .select("domain")
     )
+    # The slim over-cap domain frame feeds TWO joins (anti + semi), so
+    # it is persisted on BOTH paths — without it the explicit-flag path
+    # recomputed the count aggregate once per join. The cache is tiny
+    # (over-cap domains are the head of the distribution) but lives
+    # until the session ends; long-lived sessions doing many capped
+    # corpora should spark.catalog.clearCache() between runs.
+    over = over.persist()
     if broadcast_over is None:
-        over = over.persist()
         broadcast_over = over.count() <= OVERCAP_BROADCAST_MAX
     ob = F.broadcast(over) if broadcast_over else over
     under = d.join(ob, "domain", "left_anti").select(id_col, "domain")

@@ -443,11 +443,16 @@ def q_semi_join(spark, sf_dir):
 @register(
     "anti_join",
     "SELECT c_custkey, c_name FROM customer"
-    " WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    " WHERE NOT EXISTS (SELECT 1 FROM orders"
+    "  WHERE o_custkey = c_custkey AND o_totalprice > 300000)",
 )
 def q_anti_join(spark, sf_dir):
+    # Price floor keeps the survivor set NON-empty (3 rows at sf0.001,
+    # 30 at sf0.01) — the driver-testdata orders table covers every
+    # customer, so a bare "no orders" anti-join matched the oracle
+    # vacuously on 0 rows (r4 verdict item 3).
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1291,6 +1296,25 @@ _URL_SYNTH_SQL = (
     " || '/p/' || doc_id"
 )
 
+
+def _url_synth_col():
+    """Spark twin of _URL_SYNTH_SQL — ONE definition shared by every
+    qkey that synthesizes crawl urls (domain_stats, domain_cap), so the
+    two sides cannot drift apart independently."""
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("u:p@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www")).otherwise(
+            F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"))
+        ),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".OrG"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
 _DOMAIN_STATS_SQL = f"""
 WITH u AS (SELECT doc_id, lang, text, {_URL_SYNTH_SQL} AS url FROM documents),
 h AS (SELECT lang, length(text)::BIGINT AS n_chars,
@@ -1317,20 +1341,7 @@ def q_domain_stats(spark, sf_dir):
     from dedup.corpus import domain_stats
 
     d = load(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"),
-        F.when(F.col("doc_id") % 11 == 0, F.lit("u:p@")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("www")).otherwise(
-            F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"))
-        ),
-        F.lit("."),
-        F.col("source"),
-        F.lit(".OrG"),
-        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
-        F.lit("/p/"),
-        F.col("doc_id").cast("string"),
-    )
-    return domain_stats(d.withColumn("url", url))
+    return domain_stats(d.withColumn("url", _url_synth_col()))
 
 
 _STRAT_SAMPLE_SQL = """
@@ -1408,20 +1419,7 @@ def q_domain_cap(spark, sf_dir):
     from dedup.corpus import cap_per_domain
 
     d = load(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"),
-        F.when(F.col("doc_id") % 11 == 0, F.lit("u:p@")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("www")).otherwise(
-            F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"))
-        ),
-        F.lit("."),
-        F.col("source"),
-        F.lit(".OrG"),
-        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
-        F.lit("/p/"),
-        F.col("doc_id").cast("string"),
-    )
-    return cap_per_domain(d.withColumn("url", url), cap=10)
+    return cap_per_domain(d.withColumn("url", _url_synth_col()), cap=10)
 
 
 _FUNNEL_SQL = f"""

@@ -1,4 +1,4 @@
-"""Production entry point EP2: the end-to-end training-corpus curation
+"""Production entry point EP1b (SURVEY.md §3.2): the end-to-end training-corpus curation
 job — quality gates → near-dup dedup (keep canonical) → optional
 stratified language rebalancing → sequence-packing plan — as the same
 staged, resumable, lineage-committing graph as jobs/run_dedup.py.

@@ -8,6 +8,7 @@ slower for no extra coverage).
 
 from __future__ import annotations
 
+import math
 import random
 import string
 
@@ -258,7 +259,10 @@ def test_tfidf_topk_fuzz_vs_python(spark):
     for i, c in tfs.items():
         scored = sorted(
             (
-                (tok, tf, dfreq[tok], tf * 1000000 // dfreq[tok])
+                # floor of the DOUBLE quotient, matching both engines'
+                # long/long -> double division (== // while magnitudes
+                # stay inside 2^53; the fuzz vocab is far inside)
+                (tok, tf, dfreq[tok], math.floor(tf * 1000000 / dfreq[tok]))
                 for tok, tf in c.items()
             ),
             key=lambda x: (-x[3], x[0]),
