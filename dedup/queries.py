@@ -926,6 +926,52 @@ def q_ann_ivf_full(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _pair_cos_sql(x: str, y: str) -> str:
+    return (
+        f"list_dot_product({x}.embedding::DOUBLE[], {y}.embedding::DOUBLE[])"
+        f" / (sqrt(list_dot_product({x}.embedding::DOUBLE[], {x}.embedding::DOUBLE[]))"
+        f" * sqrt(list_dot_product({y}.embedding::DOUBLE[], {y}.embedding::DOUBLE[])))"
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH lim AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                embedding AS cv FROM lim),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) DESC,
+           c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT q.vec_id
+  FROM cells p JOIN cells q ON p.cell = q.cell AND p.vec_id < q.vec_id
+  WHERE round({_pair_cos_sql('p', 'q')}, 4) >= 0.45)
+SELECT c.vec_id, c.cell::BIGINT AS cell, d.vec_id IS NULL AS kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+@register("semantic_dedup", _SEMDEDUP_SQL)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the driver embeddings: 8 IVF cells (centroids =
+    the 8 smallest-id vectors, so the oracle replicates the pick with
+    ORDER BY vec_id LIMIT 8), within-cell cosine ≥ 0.45, min-id keep.
+    Exercises the REAL scale path (argmax-GEMM cell assignment, cell-key
+    self-join, Arrow einsum cosine) under the hash contract — argmax
+    parity is safe because the min top-2 centroid-cosine gap on this
+    corpus is ~4e-4, far above cross-engine summation noise."""
+    from dedup.simsearch import ivf_centroids, semantic_dedup
+
+    v = load(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(v, 8, order="id")
+    return semantic_dedup(v, thresh=0.45, centroids=cent)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2137,6 +2183,8 @@ def q_grouping_sets_report(spark, sf_dir):
 #: after round 3 every registered operator has at least one green driver
 #: record. Keep any NEW qkey ahead of the r2-green block.
 _PRIORITY = [
+    # -- round-5 additions (no driver record yet) -------------------------
+    "semantic_dedup",
     # -- round-4 additions (no driver record yet) -------------------------
     "domain_stats", "paragraph_dedup", "stratified_sample", "tfidf_topk",
     "domain_cap", "filter_funnel", "length_quantiles",

@@ -354,17 +354,24 @@ def lsh_pairs_expr(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int 
 
 
 def ivf_centroids(vecs: DataFrame, n_cells: int, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> np.ndarray:
+                  vec_col: str = "embedding", order: str = "hash") -> np.ndarray:
     """Deterministic coarse quantizer: the ``n_cells`` vectors with the
     smallest xxhash64(vec_id) become the (L2-normalized) cell centroids
     — a seeded uniform sample that is partition- and run-independent,
     with no iterative k-means job (at real scale you would train
     centroids once offline and ship them exactly like this: a tiny
     driver-side matrix broadcast into the kernels). Bounded collect:
-    n_cells rows."""
+    n_cells rows. ``order="id"`` picks the n_cells smallest ids instead
+    — same statistics on hash-assigned ids, but replicable by a plain
+    ``ORDER BY vec_id LIMIT n`` in an external SQL oracle."""
+    key = (
+        [F.col(id_col).asc()]
+        if order == "id"
+        else [F.xxhash64(id_col), F.col(id_col)]
+    )
     rows = (
         vecs.select(id_col, vec_col)
-        .orderBy(F.xxhash64(id_col), F.col(id_col))
+        .orderBy(*key)
         .limit(n_cells)
         .collect()
     )
@@ -394,7 +401,13 @@ def with_ivf_cell(vecs: DataFrame, centroids: np.ndarray, n_probe: int = 1,
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ cent.T  # (n, n_cells) cosine to centroids
-            if n_probe >= sims.shape[1]:
+            if n_probe == 1:
+                # first-index-of-max tie rule (argpartition's tie order
+                # is arbitrary) — duplicated centroid vectors resolve to
+                # the lowest cell id, matching an ORDER BY cos DESC,
+                # cell ASC oracle; also skips the partition/sort.
+                top = np.argmax(sims, axis=1).reshape(-1, 1)
+            elif n_probe >= sims.shape[1]:
                 top = np.argsort(-sims, axis=1)
             else:
                 part = np.argpartition(-sims, n_probe, axis=1)[:, :n_probe]
@@ -460,4 +473,103 @@ def ivf_topk(vecs: DataFrame, queries: DataFrame, k: int, n_cells: int = 16,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: IVF cells larger than this take the salted block self-join — same
+#: measured rationale as ANN_HOT_BUCKET_THRESH (embedding corpora
+#: cluster, cells are far from uniform; a mega-cell's |cell|² pair
+#: blowup must be split across tasks, never land on one join key).
+SEMDEDUP_HOT_CELL_THRESH = 4096
+SEMDEDUP_N_SALT = 8
+
+
+def semantic_dedup(vecs: DataFrame, thresh: float, n_cells: int = 1024,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None,
+                   centroid_order: str = "hash",
+                   hot_thresh: int = SEMDEDUP_HOT_CELL_THRESH,
+                   n_salt: int = SEMDEDUP_N_SALT) -> DataFrame:
+    """Semantic dedup, SemDeDup-shape: assign every embedding to its
+    nearest IVF cell (argmax cosine to the centroid, first-index tie
+    rule), find within-cell pairs with cosine ≥ ``thresh``, and keep
+    the MIN-id member of every such pair — a row is dropped iff a
+    smaller-id row in the same cell sits above the threshold (the
+    deterministic stand-in for SemDeDup's keep-farthest-from-centroid
+    rule, chosen so an external SQL oracle binds exactly). Returns one
+    row per input vector: (id, cell, kept).
+
+    Scale shape: the cell assignment is one GEMM per Arrow batch
+    against the broadcast centroid matrix (no shuffle); candidate
+    generation is a self-join on the CELL key only — pair work is
+    Σ|cell|², bounded by choosing n_cells so the expected cell is small
+    (SemDeDup uses ~√n to 50k k-means cells at web scale; centroids
+    train offline and ship exactly like this matrix). Cells above
+    ``hot_thresh`` take the salted block join (probe side keeps its
+    deterministic block, build side replicates across blocks, every
+    src<dst pair meets exactly once — pair-set-identical, pinned by
+    test). The in-cell cosine runs in the Arrow einsum kernel; vector
+    payloads never outlive their batch; the final keep decision is one
+    distinct + anti-join on the id, slim rows only."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(vecs, n_cells, id_col, vec_col, order=centroid_order)
+    )
+    cells = with_ivf_cell(
+        vecs.select(id_col, vec_col), cent, n_probe=1, vec_col=vec_col
+    ).select(id_col, vec_col, F.col("cells")[0].alias("cell"))
+    a = cells.select(
+        "cell", F.col(id_col).alias("src"), F.col(vec_col).alias("va")
+    )
+    b = cells.select(
+        "cell", F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")
+    )
+    if hot_thresh <= 0:
+        joined = a.join(b, "cell").filter(F.col("src") < F.col("dst"))
+    else:
+        # one-join salt plan (lsh_pairs rationale: a branchy anti/semi +
+        # union formulation re-runs the assignment GEMM per branch).
+        flags = (
+            cells.groupBy("cell")
+            .agg((F.count("*") > F.lit(hot_thresh)).alias("hot"))
+        )
+        a2 = a.join(F.broadcast(flags), "cell").withColumn(
+            "block",
+            F.when(
+                F.col("hot"), F.pmod(F.xxhash64("src"), F.lit(n_salt))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        b2 = b.join(F.broadcast(flags), "cell").withColumn(
+            "block",
+            F.explode(
+                F.when(
+                    F.col("hot"),
+                    F.sequence(
+                        F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long")
+                    ),
+                ).otherwise(F.array(F.lit(0).cast("long")))
+            ),
+        )
+        joined = a2.join(b2, ["cell", "block"]).filter(
+            F.col("src") < F.col("dst")
+        )
+    dup_pairs = cosine_pairs_arrow(
+        joined.select("src", "dst", "va", "vb")
+    ).filter(F.col("cos") >= thresh)
+    dropped = dup_pairs.select(F.col("dst").alias(id_col)).distinct()
+    return (
+        cells.select(id_col, "cell")
+        .join(
+            dropped.withColumn("_dup", F.lit(True)), id_col, "left_outer"
+        )
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
     )

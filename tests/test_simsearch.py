@@ -209,3 +209,90 @@ def test_lsh_pairs_multi_table_recall(spark, vecs):
     }
     assert one <= multi <= bf
     assert len(multi) / len(bf) >= 0.9, f"recall {len(multi)}/{len(bf)}"
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_vs_python_reference(spark, vecs):
+    """End-to-end vs an independent numpy brute-force reference: same
+    explicit centroid matrix on both sides, assignment by argmax cosine
+    (first-index tie rule), within-cell pairs at 4-dp-rounded cosine,
+    min-id keep."""
+    import numpy as np
+
+    from dedup.simsearch import ivf_centroids, semantic_dedup
+
+    cent = ivf_centroids(vecs, 8, order="id")
+    got = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semantic_dedup(vecs, thresh=0.45, centroids=cent).collect()
+    )
+
+    rows = sorted(vecs.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cell = np.argmax(vn @ cent.T, axis=1)
+    dropped: set[int] = set()
+    for c in range(8):
+        idx = np.where(cell == c)[0]
+        sub = vn[idx] @ vn[idx].T
+        iu, ju = np.triu_indices(len(idx), 1)
+        m = np.round(sub[iu, ju], 4) >= 0.45
+        for a, b in zip(idx[iu[m]], idx[ju[m]]):
+            dropped.add(int(ids[max(a, b)]))
+    exp = sorted(
+        (int(i), int(cell[k]), int(i) not in dropped) for k, i in enumerate(ids)
+    )
+    assert got == exp
+    assert any(not k for _, _, k in got), "threshold planted no duplicates"
+
+
+def test_semantic_dedup_salted_equals_plain(spark, skew_vecs):
+    """The hot-cell salted block self-join must produce the IDENTICAL
+    keep decision as the plain cell join — the 600-replica flood lands
+    in one cell (identical vectors, identical argmax), making that cell
+    hot at hot_thresh=32."""
+    from dedup.simsearch import ivf_centroids, semantic_dedup
+
+    cent = ivf_centroids(skew_vecs, 8, order="id")
+    plain = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semantic_dedup(
+            skew_vecs, thresh=0.9, centroids=cent, hot_thresh=0
+        ).collect()
+    )
+    salted = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semantic_dedup(
+            skew_vecs, thresh=0.9, centroids=cent, hot_thresh=32, n_salt=4
+        ).collect()
+    )
+    assert plain == salted
+    # the flood replicates an ORIGINAL corpus vector whose id is smaller
+    # than every replica id — min-id keep drops all 600 replicas
+    flood = [k for v, _, k in plain if v >= 10_000_000]
+    assert sum(flood) == 0 and len(flood) == 600
+
+
+def test_semantic_dedup_duplicate_centroid_tie(spark):
+    """Duplicated centroid vectors give bit-equal cosines — assignment
+    must resolve to the LOWEST cell id (np.argmax first-index rule),
+    matching an ORDER BY cos DESC, cell ASC oracle."""
+    import numpy as np
+
+    from dedup.simsearch import semantic_dedup
+
+    cent = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [3.0, 0.1]), (3, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.cell, r.kept) for r in
+           semantic_dedup(df, thresh=0.99, centroids=cent).collect()}
+    assert got[1][0] == 0 and got[2][0] == 0 and got[3][0] == 2
+    # cos(v1, v2) ≈ 0.9994 ≥ 0.99 → min-id keep drops vec 2
+    assert got == {1: (0, True), 2: (0, False), 3: (2, True)}
