@@ -2182,56 +2182,50 @@ def q_grouping_sets_report(spark, sf_dir):
 #: The cap then lands on keys that already hold a green r2 record, so
 #: after round 3 every registered operator has at least one green driver
 #: record. Keep any NEW qkey ahead of the r2-green block.
+#: Round-5 rule (r4 verdict item 1): OLDEST-newest-record first. Keys
+#: with no green record lead; after them the list is ordered by the
+#: round of each key's NEWEST green driver record, ascending — so the
+#: 50-key cap always re-records the stalest keys. Enforced mechanically
+#: (monotonicity, not just unrecorded-inside-cap) by
+#: tests/test_driver_rotation.py against the CORRECTNESS_r*.json files.
 _PRIORITY = [
     # -- round-5 additions (no driver record yet) -------------------------
     "semantic_dedup",
-    # -- round-4 additions (no driver record yet) -------------------------
+    # -- newest green record is r2 (25 keys, §2 D→J order) ----------------
+    "asof_latest", "interval_overlap",
+    "est_jaccard", "exact_jaccard", "lcs_ratio", "hamming_simhash",
+    "substr_dedup",
+    "exact_dedup", "group_agg", "distinct_ops", "approx_metrics",
+    "rollup_report", "collect_bucket", "grouped_agg_udf",
+    "canonical_pick", "topk_per_group", "analytic_fns", "frame_agg",
+    "order_limit", "sort_within", "union_edges", "set_ops",
+    "conn_comp", "cluster_assign",
+    "stream_ingest",
+    # -- newest green record is r3 (15 keys, §2 B→D order) ----------------
+    "string_fns", "date_fns", "math_bit_fns", "array_fns", "json_map_fns",
+    "shingle", "minhash", "simhash", "band_keys",
+    "lsh_bucket_join", "salted_join", "broadcast_join", "range_join",
+    "semi_join", "anti_join",
+    # -- newest green record is r4 (the cap lands inside this block) ------
+    # §2 A/B head first (the oldest union members of this block: their
+    # only OTHER records are r1/r2), then the r3-head extras, then the
+    # round-4 additions (freshest records, greenest to leave out).
+    "scan_pages", "scan_jdbc", "sink_table", "snapshot_read", "gen_pages",
+    "project_prune", "filter_pred", "extract_text", "normalize_text",
+    "content_hash",
+    "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
+    "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    "multimodal_meta", "near_dup_clusters",
+    "watermark_dedup", "stream_windows", "foreach_batch_dedup",
+    "stateful_sketch", "cluster_report",
+    "near_dup_with_containment", "line_dedup", "decontaminate",
+    "repetition_score", "vocab_topk", "url_normalize", "ann_ivf",
+    "snapshot_diff", "curate", "shingle_words",
     "domain_stats", "paragraph_dedup", "stratified_sample", "tfidf_topk",
     "domain_cap", "filter_funnel", "length_quantiles",
     "cube_report", "grouping_sets_report", "sink_partitioned",
     "bucketed_join", "redact_pii", "pack_chunks", "cross_corpus_neardup",
     "ann_ivf_full",
-    # -- never driver-recorded (r1+r2) ------------------------------------
-    # J. streaming tail (§2 J2-J5)
-    "watermark_dedup", "stream_windows", "foreach_batch_dedup",
-    "stateful_sketch",
-    # flagship reporting surface
-    "cluster_report",
-    # new this round: containment verification on LSH candidates +
-    # corpus-hygiene extras (line dedup, decontamination, repetition)
-    "near_dup_with_containment", "line_dedup", "decontaminate",
-    "repetition_score", "vocab_topk", "url_normalize", "ann_ivf",
-    "snapshot_diff", "curate", "shingle_words",
-    # -- recorded in round 1 only (green there) ---------------------------
-    "ngram_jaccard", "ann_topk", "embedding_neardup", "ann_lsh",
-    "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "multimodal_meta", "near_dup_clusters",
-    # -- recorded green in round 2 (§2 A→J order) -------------------------
-    # A. sources/sinks
-    "scan_pages", "scan_jdbc", "sink_table", "snapshot_read", "gen_pages",
-    # B. projection / functions
-    "project_prune", "filter_pred", "extract_text", "normalize_text",
-    "content_hash", "string_fns", "date_fns", "math_bit_fns", "array_fns",
-    "json_map_fns",
-    # C. signatures
-    "shingle", "minhash", "simhash", "band_keys",
-    # D. joins
-    "lsh_bucket_join", "salted_join", "broadcast_join", "range_join",
-    "semi_join", "anti_join", "asof_latest", "interval_overlap",
-    # E. verification
-    "est_jaccard", "exact_jaccard", "lcs_ratio", "hamming_simhash",
-    "substr_dedup",
-    # F. aggregations
-    "exact_dedup", "group_agg", "distinct_ops", "approx_metrics",
-    "rollup_report", "collect_bucket", "grouped_agg_udf",
-    # G. windows
-    "canonical_pick", "topk_per_group", "analytic_fns", "frame_agg",
-    # H. ordering / set ops
-    "order_limit", "sort_within", "union_edges", "set_ops",
-    # I. clustering
-    "conn_comp", "cluster_assign",
-    # J. streaming head (recorded r2)
-    "stream_ingest",
 ]
 
 

@@ -59,3 +59,42 @@ def test_priority_covers_registry_exactly():
     assert set(q._PRIORITY) == set(q.REGISTRY), (
         set(q._PRIORITY) ^ set(q.REGISTRY)
     )
+
+
+def _newest_green_round() -> dict[str, int]:
+    """Round of each qkey's NEWEST green driver record."""
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        with open(path) as f:
+            rec = json.load(f)
+        for key, row in rec.items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            ):
+                newest[key] = max(newest.get(key, 0), rnd)
+    return newest
+
+
+def test_rotation_is_oldest_record_first():
+    """Round-4 verdict item 1: with more keys than the 50-record cap,
+    the cap must always land on the STALEST keys — unrecorded keys
+    first, then newest-green-record round non-decreasing along the
+    whole list. (When a new CORRECTNESS_r*.json lands, this fails until
+    queries._PRIORITY is re-rotated — by design, same as the
+    unrecorded-inside-cap rule above.)"""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    newest = _newest_green_round()
+    seq = [newest.get(n, 0) for n in names]  # 0 = unrecorded → first
+    violations = [
+        (names[i], seq[i], names[i + 1], seq[i + 1])
+        for i in range(len(seq) - 1)
+        if seq[i] > seq[i + 1]
+    ]
+    assert violations == [], (
+        "rotation not oldest-record-first (prev_key, prev_round, key, "
+        f"round): {violations[:5]} — reorder queries._PRIORITY so keys "
+        "with older newest-records come first"
+    )
