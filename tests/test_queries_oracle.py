@@ -14,6 +14,8 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+pytestmark = pytest.mark.slow  # multi-minute: deselect with -m "not slow"
+
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"

@@ -16,6 +16,8 @@ import zipfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: deselect with -m "not slow"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
