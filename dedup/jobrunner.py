@@ -56,12 +56,17 @@ class Runner:
     def stage(
         self, name: str, fn, sort_within=None, extra_key: str = "",
         partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None, n_buckets: int = 0,
     ) -> DataFrame:
         # extra_key folds stage-affecting flags that live OUTSIDE
         # DedupConfig (e.g. --use-containment) into the resume key, so
         # re-running a run_id with a flipped flag recomputes the affected
-        # stages instead of silently reusing a stale snapshot
-        ch = self.cfg.config_hash() + extra_key
+        # stages instead of silently reusing a stale snapshot. The
+        # bucketed layout is a flag of that class too: flipping
+        # --n-buckets recommits the stage in the new layout rather than
+        # resuming a snapshot with the wrong join physics.
+        bk = f"-bkt:{','.join(bucket_by)}:{n_buckets}" if bucket_by else ""
+        ch = self.cfg.config_hash() + extra_key + bk
         marker = self.tio.find_stage(self.run_id, name, ch)
         if marker:
             self.skipped.append(name)
@@ -70,7 +75,8 @@ class Runner:
             df = fn()
             snap = self.tio.write(
                 df, name, mode="overwrite", sort_within=sort_within,
-                partition_by=partition_by,
+                partition_by=partition_by, bucket_by=bucket_by,
+                n_buckets=n_buckets,
             )
         out = self.tio.read(name, snap)
         self.tio.write(
@@ -93,14 +99,20 @@ class Runner:
 
 def dedup_stages(
     r: Runner, docs: DataFrame, use_containment: bool = False,
-    extra_key: str = "",
+    extra_key: str = "", n_buckets: int = 0,
 ) -> DataFrame:
     """The near-dup stage chain (signatures → edges → clusters →
     report) over an already-committed-and-persisted docs frame. Returns
     the clusters frame (doc_id, url, cluster_id). Shared by run_dedup
     (whole-corpus dedup) and curate_corpus (dedup of gate survivors —
     whose job passes its gate parameters via ``extra_key`` so a changed
-    gate recomputes every stage whose input set changed)."""
+    gate recomputes every stage whose input set changed).
+
+    ``n_buckets`` > 0 commits CLUSTERS bucketed by doc_id (matching the
+    docs commit from ``ingest_stage``): every later clusters ⋈ docs
+    consumer — the report stage here, canonical-text extraction, any
+    downstream curation join — SortMergeJoins with zero Exchange on
+    either side, on every resume, in any session."""
     cfg = r.cfg
 
     # committed signature table is the SLIM form (band hashes + byte-packed
@@ -154,7 +166,10 @@ def dedup_stages(
         return assign_clusters(docs, comp).select("doc_id", "url", "cluster_id")
 
     clusters = r.stage(
-        "clusters", mk_clusters, sort_within=["cluster_id", "doc_id"], extra_key=ck
+        "clusters", mk_clusters,
+        sort_within=["doc_id"] if n_buckets else ["cluster_id", "doc_id"],
+        extra_key=ck,
+        bucket_by=["doc_id"] if n_buckets else None, n_buckets=n_buckets,
     )
 
     r.stage(
@@ -168,7 +183,8 @@ def dedup_stages(
 
 
 def ingest_stage(
-    r: Runner, pages: DataFrame, assume_unique_urls: bool = False
+    r: Runner, pages: DataFrame, assume_unique_urls: bool = False,
+    n_buckets: int = 0,
 ) -> DataFrame:
     """Committed docs stage. ``assume_unique_urls`` (the CLI's
     --assume-unique-urls) skips the latest-capture-per-url aggregation —
@@ -184,6 +200,7 @@ def ingest_stage(
         lambda: to_docs(pages, r.cfg, assume_unique_urls=assume_unique_urls),
         sort_within=["doc_id"],
         extra_key=uk,
+        bucket_by=["doc_id"] if n_buckets else None, n_buckets=n_buckets,
     )
     return docs
 
@@ -191,12 +208,19 @@ def ingest_stage(
 def run_dedup_job(
     spark, tio: TableIO, cfg: DedupConfig, run_id: str, pages: DataFrame,
     use_containment: bool = False, assume_unique_urls: bool = False,
+    n_buckets: int = 0,
 ) -> Runner:
-    """The full run_dedup stage graph: ingest + dedup chain."""
+    """The full run_dedup stage graph: ingest + dedup chain.
+    ``n_buckets`` > 0 (--n-buckets) lands docs AND clusters as
+    doc_id-bucketed catalog-backed commits — the co-located-join layout
+    for every downstream clusters ⋈ docs consumer."""
     r = Runner(spark, tio, cfg, run_id)
     uk = "-uniq" if assume_unique_urls else ""
-    docs = ingest_stage(r, pages, assume_unique_urls).persist()
+    docs = ingest_stage(r, pages, assume_unique_urls, n_buckets=n_buckets).persist()
     docs.count()
-    dedup_stages(r, docs, use_containment=use_containment, extra_key=uk)
+    dedup_stages(
+        r, docs, use_containment=use_containment, extra_key=uk,
+        n_buckets=n_buckets,
+    )
     docs.unpersist()
     return r

@@ -29,6 +29,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dedup.session import iceberg_available
 
@@ -78,6 +79,44 @@ class TableIO:
         snaps = self.snapshots(table)
         return snaps[-1] if snaps else None
 
+    # -- bucketed catalog names ---------------------------------------------
+    def _catalog_name(self, table: str, snapshot_id: int) -> str:
+        """Session-catalog identifier for one bucketed snapshot. Bucket
+        metadata has no path-only form in Spark, so every bucketed
+        snapshot gets a deterministic catalog entry keyed by warehouse
+        root + table + snapshot id: a FRESH session (resume after a
+        crash) recreates the same name from the manifest alone."""
+        import hashlib
+
+        root8 = hashlib.sha1(os.path.abspath(self.root).encode()).hexdigest()[:8]
+        return f"dedup_{root8}_{table}_s{snapshot_id}"
+
+    @staticmethod
+    def _schema_ddl(df: DataFrame) -> str:
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+
+    def _ensure_bucketed_catalog(self, snap: dict) -> str:
+        """Make sure the catalog entry for a bucketed snapshot exists
+        (re-registering from the manifest in a fresh session) and return
+        its name. The table is EXTERNAL — the manifest owns the data
+        lifecycle; the catalog entry is pure join-layout metadata."""
+        cat = snap["catalog"]
+        if not self.spark.catalog.tableExists(cat):
+            cols = ", ".join(f"`{c}`" for c in snap["bucket_by"])
+            sort = (
+                " SORTED BY (" + ", ".join(f"`{c}`" for c in snap["sort_by"]) + ")"
+                if snap.get("sort_by")
+                else ""
+            )
+            self.spark.sql(
+                f"CREATE TABLE {cat} ({snap['schema_ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({cols}){sort} INTO {snap['n_buckets']} BUCKETS "
+                f"LOCATION '{snap['dirs'][0]}'"
+            )
+        return cat
+
     # -- write -------------------------------------------------------------
     def write(
         self,
@@ -86,6 +125,8 @@ class TableIO:
         mode: str = "append",
         sort_within: list[str] | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 0,
     ) -> int:
         """Write ``df`` as a new snapshot of ``table``; returns snapshot id.
         ``sort_within``: optional sortWithinPartitions columns for file
@@ -97,15 +138,41 @@ class TableIO:
         pin both. Appends to a partitioned table must repeat the same
         columns (recorded in the manifest, validated here) — mixing
         layouts within one table would silently break partition
-        discovery on read."""
+        discovery on read.
+        ``bucket_by``/``n_buckets``: SURVEY §4.3 co-located-join layout
+        as a COMMITTED form — the snapshot's data dir is written via
+        ``bucketBy`` (pre-shuffled on the bucket key so each bucket is
+        one file, not tasks×buckets small files) and registered as an
+        external catalog table; ``read`` returns the bucket-aware
+        catalog frame, so same-key same-count consumers (clusters ⋈
+        docs on doc_id) SortMergeJoin with zero Exchange on every
+        resume. The one-off repartition at commit time is the price
+        that deletes the join shuffle for every later consumer.
+        Overwrite-mode only (bucketBy cannot append into an existing
+        file set); time travel to older snapshots still works — a plain
+        parquet read of a bucketed dir is always correct, just not
+        exchange-free."""
         if self.backend == "iceberg":
-            w = df.writeTo(table)
-            if partition_by and mode != "append":
-                from pyspark.sql import functions as F
+            from pyspark.sql import functions as F
 
+            w = df.writeTo(table)
+            if bucket_by and mode != "append":
+                w = w.partitionedBy(
+                    F.bucket(n_buckets, bucket_by[0]),
+                    *[F.col(c) for c in bucket_by[1:]],
+                )
+            elif partition_by and mode != "append":
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             (w.append() if mode == "append" else w.createOrReplace())
             return -1  # iceberg assigns its own ids; not used locally
+        if bucket_by:
+            if mode != "overwrite":
+                raise ValueError("bucketed commits are overwrite-only")
+            if partition_by:
+                raise ValueError("bucket_by and partition_by are exclusive")
+            return self._write_bucketed_snapshot(
+                df, table, bucket_by, n_buckets, sort_within
+            )
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         prev = self.latest(table)
@@ -139,6 +206,47 @@ class TableIO:
         )
         return snapshot_id
 
+    def _write_bucketed_snapshot(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_within: list[str] | None,
+    ) -> int:
+        prev = self.latest(table)
+        snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+        data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
+        cat = self._catalog_name(table, snapshot_id)
+        w = (
+            df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
+            .write.mode("overwrite")
+            .option("path", data_dir)
+            .bucketBy(n_buckets, *bucket_by)
+        )
+        if sort_within:
+            w = w.sortBy(*sort_within)  # per-bucket-file sort
+        self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+        w.saveAsTable(cat)
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": prev["snapshot_id"] if prev else None,
+            "mode": "overwrite",
+            "dirs": [data_dir],
+            "partition_by": [],
+            "bucket_by": list(bucket_by),
+            "n_buckets": n_buckets,
+            "sort_by": list(sort_within or []),
+            "catalog": cat,
+            "schema_ddl": self._schema_ddl(df),
+            "committed_at": time.time(),
+        }
+        self._atomic_write_json(
+            os.path.join(self._manifest_dir(table), f"{snapshot_id:012d}.json"),
+            manifest,
+        )
+        return snapshot_id
+
     def compact(
         self,
         table: str,
@@ -157,6 +265,17 @@ class TableIO:
         scale this runs as a background maintenance job per table."""
         df = self.read(table)
         prev = self.latest(table)
+        if (prev or {}).get("bucket_by"):
+            # a bucketed snapshot is already one file per bucket — keep
+            # the join layout (target_files would destroy it)
+            return self.write(
+                df,
+                table,
+                mode="overwrite",
+                sort_within=sort_within or prev.get("sort_by") or None,
+                bucket_by=prev["bucket_by"],
+                n_buckets=prev["n_buckets"],
+            )
         out = df.repartition(target_files)
         return self.write(
             out,
@@ -227,6 +346,10 @@ class TableIO:
             if not match:
                 raise FileNotFoundError(f"{table!r} has no snapshot {snapshot_id}")
             snap = match[0]
+        if snap.get("bucket_by"):
+            # bucket-aware read through the (re-)registered catalog
+            # entry: same-key same-count joins plan with zero Exchange
+            return self.spark.table(self._ensure_bucketed_catalog(snap))
         if snap.get("partition_by"):
             # hive-style partition discovery cannot span unrelated data
             # roots (CONFLICTING_DIRECTORY_STRUCTURES) — scan each

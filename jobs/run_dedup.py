@@ -60,6 +60,14 @@ def main(argv=None) -> None:
         help="input is pre-deduplicated by url: skip the latest-capture "
         "aggregation (the ingest's largest shuffle)",
     )
+    ap.add_argument(
+        "--n-buckets",
+        type=int,
+        default=0,
+        help="commit docs and clusters bucketed by doc_id into this many "
+        "buckets (0 = off): downstream clusters-docs joins run with zero "
+        "Exchange on every resume",
+    )
     args = ap.parse_args(argv)
 
     cfg = DEFAULT_CONFIG
@@ -74,7 +82,8 @@ def main(argv=None) -> None:
     pages = load_pages(spark, args.input, args.input_kind)
     r = run(spark, tio, cfg, args.run_id, pages,
             use_containment=args.use_containment,
-            assume_unique_urls=args.assume_unique_urls)
+            assume_unique_urls=args.assume_unique_urls,
+            n_buckets=args.n_buckets)
     print(json.dumps({"run_id": args.run_id, "ran": r.ran, "skipped": r.skipped}))
 
 

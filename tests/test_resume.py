@@ -294,3 +294,67 @@ def test_assume_unique_urls_flag_keyed_and_equivalent(spark, tiny_pages_df, tmp_
     # same flag again -> full resume
     r3 = run(spark, tio, DEFAULT_CONFIG, "u1", pages, assume_unique_urls=True)
     assert r3.ran == []
+
+
+def test_staged_run_bucketed_resume(spark, tiny_pages_df, tmp_path):
+    """Round-4 verdict item 4: the bucketed layout wired into a REAL
+    consumer. --n-buckets lands docs AND clusters as doc_id-bucketed
+    catalog-backed commits; a resumed run (fresh catalog, markers only)
+    reads them back bucket-aware, rows identical to the plain layout,
+    and the clusters ⋈ docs join plans with ZERO Exchange."""
+    from pyspark.sql import functions as F
+
+    from jobs.run_dedup import run
+
+    cfg = DEFAULT_CONFIG
+    pages = _pages(spark, tiny_pages_df)
+
+    # plain-layout reference
+    tio_p = TableIO(spark, str(tmp_path / "whP"), backend="parquet")
+    run(spark, tio_p, cfg, "runP", pages)
+    ref = sorted(
+        (r.doc_id, r.cluster_id) for r in tio_p.read("clusters").collect()
+    )
+
+    tio = TableIO(spark, str(tmp_path / "whK"), backend="parquet")
+    r1 = run(spark, tio, cfg, "runK", pages, n_buckets=8)
+    assert r1.ran == ["docs", "signatures", "edges", "clusters", "report"]
+    for t in ("docs", "clusters"):
+        m = tio.latest(t)
+        assert m["bucket_by"] == ["doc_id"] and m["n_buckets"] == 8, m
+
+    # simulate a FRESH session: drop the catalog entries — only the
+    # manifests (and their schema_ddl) survive a restart
+    for t in ("docs", "clusters"):
+        spark.sql(f"DROP TABLE IF EXISTS {tio.latest(t)['catalog']}")
+
+    # resume: every stage skipped, outputs re-registered + identical
+    r2 = run(spark, tio, cfg, "runK", pages, n_buckets=8)
+    assert r2.ran == [] and r2.skipped == [
+        "docs", "signatures", "edges", "clusters", "report"
+    ]
+    got = sorted(
+        (r.doc_id, r.cluster_id) for r in tio.read("clusters").collect()
+    )
+    assert got == ref
+
+    # a layout flip is resume-keyed: n_buckets=0 on the same run id
+    # recommits rather than reusing the bucketed snapshots
+    r3 = run(spark, tio, cfg, "runK", pages, n_buckets=0)
+    assert "docs" in r3.ran and "clusters" in r3.ran
+
+    # the consumer payoff: clusters ⋈ docs on doc_id, zero Exchange
+    # (read the BUCKETED snapshots explicitly — r3 re-committed plain
+    # ones on top)
+    docs_b = tio.read("docs", tio.latest("docs")["snapshot_id"] - 1)
+    clus_b = tio.read("clusters", tio.latest("clusters")["snapshot_id"] - 1)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = clus_b.join(docs_b.select("doc_id", "n_chars"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert "Exchange" not in plan, f"bucketed job join shuffles: {plan[:800]}"
+        assert joined.count() == len(ref)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
