@@ -458,6 +458,33 @@ def q_anti_join(spark, sf_dir):
     )
 
 
+_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+f AS (SELECT user_id, event_id, us,
+        CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS flag
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT user_id, us,
+        sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+      FROM f)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+       min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+@register("sessionize", _SESSIONIZE_SQL)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (6 h gap) over the events table —
+    integer-microsecond gap arithmetic, total (ts, event_id) order, one
+    user-keyed shuffle (the closing aggregate reuses the window's
+    partitioning; plan test pins the single Exchange)."""
+    from dedup.events import sessionize
+
+    return sessionize(load(spark, sf_dir, "events"), gap_s=21600)
+
+
 @register(
     "asof_latest",
     "SELECT user_id, event_id AS last_event_id,"
@@ -2190,7 +2217,7 @@ def q_grouping_sets_report(spark, sf_dir):
 #: tests/test_driver_rotation.py against the CORRECTNESS_r*.json files.
 _PRIORITY = [
     # -- round-5 additions (no driver record yet) -------------------------
-    "semantic_dedup",
+    "semantic_dedup", "sessionize",
     # -- newest green record is r2 (25 keys, §2 D→J order) ----------------
     "asof_latest", "interval_overlap",
     "est_jaccard", "exact_jaccard", "lcs_ratio", "hamming_simhash",

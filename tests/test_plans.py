@@ -267,3 +267,16 @@ def test_domain_stats_distinct_expand_shape(spark):
     # first exchange (reading bottom-up: last Exchange in the string)
     below_first_exchange = plan.rsplit("Exchange", 1)[1]
     assert "partial_count" in below_first_exchange or "partial_sum" in below_first_exchange
+
+
+def test_sessionize_single_exchange(spark):
+    """sessionize claims ONE user-keyed shuffle: the closing
+    (user, session_idx) aggregate must reuse the window's
+    HashPartitioning(user) — a second Exchange would mean the grouping
+    failed to recognize the partitioning as sufficient."""
+    from dedup.events import sessionize
+
+    df = sessionize(spark.read.parquet(f"{SF}/events.parquet"), gap_s=21600)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "Window" in plan and "hashpartitioning(user_id" in plan, plan[:800]

@@ -269,3 +269,62 @@ def test_tfidf_topk_fuzz_vs_python(spark):
         )[:3]
         exp += [(i, tok, tf, d, s) for tok, tf, d, s in scored]
     assert got == sorted(exp)
+
+
+def test_sessionize_fuzz_vs_python(spark):
+    """sessionize vs a plain-python reference on a corpus with equal
+    timestamps (total order must fall back to event_id), singleton
+    sessions, and gap boundaries hit exactly (> semantics, not >=)."""
+    from dedup.events import sessionize
+
+    rng = random.Random(11)
+    gap_s = 100
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = 1_700_000_000_000_000  # epoch micros
+        for _ in range(rng.randrange(1, 40)):
+            step = rng.choice(
+                [0, 1, 50_000_000, 100_000_000, 100_000_001, 400_000_000]
+            )
+            t += step
+            rows.append((u, eid, t))
+            eid += 1
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (
+                u,
+                e,
+                datetime.datetime.fromtimestamp(
+                    t / 1e6, tz=datetime.timezone.utc
+                ).replace(tzinfo=None),
+            )
+            for u, e, t in rows
+        ],
+        "user_id long, event_id long, ts timestamp_ntz",
+    )
+    got = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.start_us, r.end_us)
+        for r in sessionize(df, gap_s=gap_s).collect()
+    )
+
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, e, t in rows:
+        by_user[u].append((t, e))
+    exp = []
+    for u, evs in by_user.items():
+        evs.sort()
+        sess, start, last, n = 0, None, None, 0
+        for t, e in evs:
+            if last is None or t - last > gap_s * 1_000_000:
+                if n:
+                    exp.append((u, sess, n, start, last))
+                sess, start, n = sess + 1, t, 0
+            n += 1
+            last = t
+        exp.append((u, sess, n, start, last))
+    assert got == sorted(exp)
