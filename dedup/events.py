@@ -56,3 +56,51 @@ def sessionize(
             F.max("_us").cast("long").alias("end_us"),
         )
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered k-step funnel: for every user who performed ``steps[0]``,
+    the earliest chain of step timestamps where each step happens
+    STRICTLY after (microsecond ``>``) the previous step's chosen time
+    — the classic product-analytics conversion query. Returns
+    (user, t1_us … tk_us [nullable], stage_reached).
+
+    The chosen chain is the greedy earliest one (min t1, then min t2
+    among events after t1, …) — greedy-earliest maximizes the reachable
+    stage, so stage_reached is exact, not an artifact of the pick.
+
+    Scale shape: k-1 cascaded SLIM min-aggregates — step i's events
+    join the (user, t_{i-1}) frame on the user key, filter ts strictly
+    after, and take a map-side-combined min; every shuffled row is two
+    longs, the raw event stream is scanned once per step WITH the step
+    predicate pushed to the scan, and there is no per-user sort,
+    collect_list, or lambda state. All comparisons in integer
+    microseconds (no float-epoch ties)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    e = events.select(
+        F.col(user_col), F.col(type_col).alias("_type"), us.alias("_us")
+    )
+    cur = (
+        e.filter(F.col("_type") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("_us").cast("long").alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ti = (
+            e.filter(F.col("_type") == step)
+            .join(cur.select(user_col, f"t{i - 1}_us"), user_col)
+            .filter(F.col("_us") > F.col(f"t{i - 1}_us"))
+            .groupBy(user_col)
+            .agg(F.min("_us").cast("long").alias(f"t{i}_us"))
+        )
+        cur = cur.join(ti, user_col, "left_outer")
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.col(f"t{i}_us").isNotNull().cast("int")
+    return cur.withColumn("stage_reached", reached.cast("long"))

@@ -485,6 +485,32 @@ def q_sessionize(spark, sf_dir):
     return sessionize(load(spark, sf_dir, "events"), gap_s=21600)
 
 
+_FUNNEL_EVENTS_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1_us GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2_us GROUP BY e.user_id)
+SELECT s1.user_id, t1_us::BIGINT AS t1_us, t2_us::BIGINT AS t2_us,
+       t3_us::BIGINT AS t3_us,
+       (1 + (t2_us IS NOT NULL)::INT + (t3_us IS NOT NULL)::INT)::BIGINT
+         AS stage_reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+@register("event_funnel", _FUNNEL_EVENTS_SQL)
+def q_event_funnel(spark, sf_dir):
+    """view → click → purchase ordered funnel per user: greedy-earliest
+    chain with strict (>) integer-microsecond ordering; cascaded slim
+    min-aggregates, every shuffled row two longs."""
+    from dedup.events import event_funnel
+
+    return event_funnel(load(spark, sf_dir, "events"))
+
+
 @register(
     "asof_latest",
     "SELECT user_id, event_id AS last_event_id,"
@@ -2217,7 +2243,7 @@ def q_grouping_sets_report(spark, sf_dir):
 #: tests/test_driver_rotation.py against the CORRECTNESS_r*.json files.
 _PRIORITY = [
     # -- round-5 additions (no driver record yet) -------------------------
-    "semantic_dedup", "sessionize",
+    "semantic_dedup", "sessionize", "event_funnel",
     # -- newest green record is r2 (25 keys, §2 D→J order) ----------------
     "asof_latest", "interval_overlap",
     "est_jaccard", "exact_jaccard", "lcs_ratio", "hamming_simhash",

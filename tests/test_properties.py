@@ -328,3 +328,60 @@ def test_sessionize_fuzz_vs_python(spark):
             last = t
         exp.append((u, sess, n, start, last))
     assert got == sorted(exp)
+
+
+def test_event_funnel_fuzz_vs_python(spark):
+    """event_funnel vs a brute-force python reference: random small
+    per-user event streams with duplicate timestamps and missing
+    stages; strict (>) chain semantics, greedy-earliest chain."""
+    from dedup.events import event_funnel
+
+    rng = random.Random(23)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for u in range(40):
+        t = 1_700_000_000_000_000
+        for _ in range(rng.randrange(0, 12)):
+            t += rng.choice([0, 1, 1_000_000])
+            rows.append((u, rng.choice(types), t))
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (
+                u,
+                k,
+                datetime.datetime.fromtimestamp(
+                    t / 1e6, tz=datetime.timezone.utc
+                ).replace(tzinfo=None),
+            )
+            for u, k, t in rows
+        ],
+        "user_id long, event_type string, ts timestamp_ntz",
+    )
+    got = sorted(
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us, r.stage_reached)
+        for r in event_funnel(df).collect()
+    )
+
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, k, t in rows:
+        by_user[u].append((t, k))
+    exp = []
+    for u, evs in by_user.items():
+        def first_after(kind, after):
+            c = [t for t, k in evs if k == kind and (after is None or t > after)]
+            return min(c) if c else None
+
+        t1 = first_after("view", None)
+        if t1 is None:
+            continue
+        t2 = first_after("click", t1)
+        t3 = first_after("purchase", t2) if t2 is not None else None
+        exp.append(
+            (u, t1, t2, t3, 1 + (t2 is not None) + (t3 is not None))
+        )
+    assert got == sorted(exp)
+    assert any(r[4] == 3 for r in got) and any(r[4] < 3 for r in got)
