@@ -382,16 +382,21 @@ def ivf_centroids(vecs: DataFrame, n_cells: int, id_col: str = "vec_id",
 
 
 def with_ivf_cell(vecs: DataFrame, centroids: np.ndarray, n_probe: int = 1,
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  emit_sim: bool = False) -> DataFrame:
     """Attach the ``n_probe`` nearest cell ids (by cosine to the
     centroid) to every vector: one GEMM against the centroid matrix per
     Arrow batch, exploded to (row, cell) pairs JVM-side. n_probe=1 for
     the indexed corpus; queries probe several cells to recover vectors
-    whose own cell assignment disagrees with the query's."""
+    whose own cell assignment disagrees with the query's.
+    ``emit_sim`` additionally emits ``cell_cos`` — the cosine to the
+    NEAREST centroid (free: the GEMM already computed it) — which the
+    SemDeDup keep-farthest-from-centroid rule consumes."""
     cent = centroids  # captured in the closure, shipped with the task
-    out_schema = StructType(
-        list(vecs.schema) + [StructField("cells", ArrayType(LongType()))]
-    )
+    fields = list(vecs.schema) + [StructField("cells", ArrayType(LongType()))]
+    if emit_sim:
+        fields.append(StructField("cell_cos", DoubleType()))
+    out_schema = StructType(fields)
 
     def gen(batches):
         for rb in batches:
@@ -423,9 +428,16 @@ def with_ivf_cell(vecs: DataFrame, centroids: np.ndarray, n_probe: int = 1,
                 ),
                 pa.array(cells.reshape(-1)),
             )
-            yield rb.append_column(
+            out = rb.append_column(
                 pa.field("cells", pa.list_(pa.int64())), arr
             )
+            if emit_sim:
+                best = np.take_along_axis(sims, cells[:, :1], axis=1)[:, 0]
+                out = out.append_column(
+                    pa.field("cell_cos", pa.float64()),
+                    pa.array(best, pa.float64()),
+                )
+            yield out
 
     return vecs.mapInArrow(gen, out_schema)
 
@@ -493,15 +505,30 @@ def semantic_dedup(vecs: DataFrame, thresh: float, n_cells: int = 1024,
                    centroids: np.ndarray | None = None,
                    centroid_order: str = "hash",
                    hot_thresh: int = SEMDEDUP_HOT_CELL_THRESH,
-                   n_salt: int = SEMDEDUP_N_SALT) -> DataFrame:
+                   n_salt: int = SEMDEDUP_N_SALT,
+                   keep: str = "min_id") -> DataFrame:
     """Semantic dedup, SemDeDup-shape: assign every embedding to its
     nearest IVF cell (argmax cosine to the centroid, first-index tie
     rule), find within-cell pairs with cosine ≥ ``thresh``, and keep
-    the MIN-id member of every such pair — a row is dropped iff a
-    smaller-id row in the same cell sits above the threshold (the
-    deterministic stand-in for SemDeDup's keep-farthest-from-centroid
-    rule, chosen so an external SQL oracle binds exactly). Returns one
-    row per input vector: (id, cell, kept).
+    one member per duplicate group. Returns one row per input vector:
+    (id, cell, kept).
+
+    Two keep rules:
+
+    - ``keep="min_id"`` (default): a row is dropped iff a smaller-id
+      row in the same cell sits above the threshold — the deterministic
+      stand-in chosen so an external SQL oracle binds exactly (no
+      clustering step, one distinct + anti-join).
+    - ``keep="far_from_centroid"``: the paper's exact rule (SemDeDup,
+      Abbas et al. 2023 §2): duplicate groups are the CONNECTED
+      COMPONENTS of the within-cell threshold graph, and the kept
+      member is the one with the LOWEST cosine to its centroid
+      (ties → lowest id) — keeping the least prototypical example
+      preserves diversity. Costs one CC pass over the slim pair edges
+      (scale-adaptive: single-task numpy union-find on small edge sets,
+      iterative min-label loop above — dedup/components.py) plus a
+      per-group window; the centroid cosine rides out of the
+      assignment GEMM for free (``with_ivf_cell(emit_sim=True)``).
 
     Scale shape: the cell assignment is one GEMM per Arrow batch
     against the broadcast centroid matrix (no shuffle); candidate
@@ -515,14 +542,21 @@ def semantic_dedup(vecs: DataFrame, thresh: float, n_cells: int = 1024,
     test). The in-cell cosine runs in the Arrow einsum kernel; vector
     payloads never outlive their batch; the final keep decision is one
     distinct + anti-join on the id, slim rows only."""
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keep rule {keep!r}")
     cent = (
         centroids
         if centroids is not None
         else ivf_centroids(vecs, n_cells, id_col, vec_col, order=centroid_order)
     )
+    emit_sim = keep == "far_from_centroid"
     cells = with_ivf_cell(
-        vecs.select(id_col, vec_col), cent, n_probe=1, vec_col=vec_col
-    ).select(id_col, vec_col, F.col("cells")[0].alias("cell"))
+        vecs.select(id_col, vec_col), cent, n_probe=1, vec_col=vec_col,
+        emit_sim=emit_sim,
+    ).select(
+        id_col, vec_col, F.col("cells")[0].alias("cell"),
+        *(["cell_cos"] if emit_sim else []),
+    )
     a = cells.select(
         "cell", F.col(id_col).alias("src"), F.col(vec_col).alias("va")
     )
@@ -561,6 +595,28 @@ def semantic_dedup(vecs: DataFrame, thresh: float, n_cells: int = 1024,
     dup_pairs = cosine_pairs_arrow(
         joined.select("src", "dst", "va", "vb")
     ).filter(F.col("cos") >= thresh)
+    if keep == "far_from_centroid":
+        from pyspark.sql import Window
+
+        from dedup.components import connected_components
+
+        comp = connected_components(dup_pairs.select("src", "dst"))
+        grouped = cells.select(id_col, "cell", "cell_cos").join(
+            comp.withColumnRenamed("doc_id", id_col), id_col, "left_outer"
+        )
+        # non-duplicate rows have NULL cluster_id; coalescing to their
+        # own id gives each a singleton window partition instead of one
+        # giant NULL partition (single task at scale). Collision-free:
+        # component labels are member min-ids, so a label can equal a
+        # row's id only if that row IS in the component.
+        w = Window.partitionBy(
+            F.coalesce(F.col("cluster_id"), F.col(id_col))
+        ).orderBy(F.asc("cell_cos"), F.asc(id_col))
+        return grouped.select(
+            id_col,
+            "cell",
+            (F.row_number().over(w) == 1).alias("kept"),
+        )
     dropped = dup_pairs.select(F.col("dst").alias(id_col)).distinct()
     return (
         cells.select(id_col, "cell")

@@ -296,3 +296,70 @@ def test_semantic_dedup_duplicate_centroid_tie(spark):
     assert got[1][0] == 0 and got[2][0] == 0 and got[3][0] == 2
     # cos(v1, v2) ≈ 0.9994 ≥ 0.99 → min-id keep drops vec 2
     assert got == {1: (0, True), 2: (0, False), 3: (2, True)}
+
+
+def test_semantic_dedup_far_from_centroid_vs_python(spark, vecs):
+    """The paper-exact keep rule (SemDeDup §2: connected components of
+    the within-cell threshold graph, keep the member LEAST similar to
+    its centroid, ties by id) vs an independent python reference with
+    its own union-find."""
+    import numpy as np
+
+    from dedup.simsearch import ivf_centroids, semantic_dedup
+
+    cent = ivf_centroids(vecs, 8, order="id")
+    got = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semantic_dedup(
+            vecs, thresh=0.45, centroids=cent, keep="far_from_centroid"
+        ).collect()
+    )
+
+    rows = sorted(vecs.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = vn @ cent.T
+    cell = np.argmax(sims, axis=1)
+    cell_cos = sims[np.arange(len(ids)), cell]
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = []
+    for c in range(8):
+        idx = np.where(cell == c)[0]
+        sub = vn[idx] @ vn[idx].T
+        iu, ju = np.triu_indices(len(idx), 1)
+        m = np.round(sub[iu, ju], 4) >= 0.45
+        pairs += [(int(ids[a]), int(ids[b])) for a, b in zip(idx[iu[m]], idx[ju[m]])]
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    grouped_ids = {v for p in pairs for v in p}
+    for k, i in enumerate(ids):
+        if int(i) in grouped_ids:
+            groups[find(int(i))].append((float(cell_cos[k]), int(i)))
+    keepers = {min(v)[1] for v in groups.values()}
+    exp = sorted(
+        (int(i), int(cell[k]), int(i) not in grouped_ids or int(i) in keepers)
+        for k, i in enumerate(ids)
+    )
+    assert got == exp
+    # the two rules keep the same NUMBER per group (one), but can pick
+    # different members — total keep count must match min_id's
+    got_minid = semantic_dedup(vecs, thresh=0.45, centroids=cent).collect()
+    n_kept_minid = sum(r.kept for r in got_minid)
+    # min_id drops any row with a smaller-id above-threshold neighbor,
+    # which can drop MORE than one-per-component (chains) — so the
+    # paper rule keeps at least as many rows
+    assert sum(k for _, _, k in got) >= n_kept_minid
