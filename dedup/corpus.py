@@ -631,13 +631,18 @@ def cap_per_domain(
     )
     # The slim over-cap domain frame feeds TWO joins (anti + semi), so
     # it is persisted on BOTH paths — without it the explicit-flag path
-    # recomputed the count aggregate once per join. The cache is tiny
-    # (over-cap domains are the head of the distribution) but lives
-    # until the session ends; long-lived sessions doing many capped
-    # corpora should spark.catalog.clearCache() between runs.
+    # recomputed the count aggregate once per join. The count right
+    # after persist is the repo's eager-materialization rule (a LAZY
+    # cache gets recomputed by every concurrent branch of the next
+    # action — e.g. the two broadcast builds racing); on the gate path
+    # it doubles as the gate input. The cache is tiny (over-cap domains
+    # are the head of the distribution) but lives until the session
+    # ends; long-lived sessions doing many capped corpora should
+    # spark.catalog.clearCache() between runs.
     over = over.persist()
+    n_over = over.count()
     if broadcast_over is None:
-        broadcast_over = over.count() <= OVERCAP_BROADCAST_MAX
+        broadcast_over = n_over <= OVERCAP_BROADCAST_MAX
     ob = F.broadcast(over) if broadcast_over else over
     under = d.join(ob, "domain", "left_anti").select(id_col, "domain")
     w = Window.partitionBy("domain").orderBy("_h", id_col)

@@ -172,10 +172,14 @@ def cosine_pairs_arrow(pairs: DataFrame, keep: tuple[str, str] = ("src", "dst"),
     half-even while Spark's ``round`` is HALF_UP on the decimal string —
     the same divergence class CLAUDE.md documents for Spark vs DuckDB.
     An exact .xxxx5 cosine tie would make this kernel disagree with the
-    expr twins by 1 ulp at 4 dp. Fine while the Arrow path backs only
-    rows-only qkeys (every SQL-oracle qkey uses the expr twins); if an
-    oracle-backed qkey ever adopts this kernel, round via the decimal
-    string first."""
+    expr twins by 1 ulp at 4 dp. Two SQL-oracle qkeys DO ride this
+    kernel — `ann_ivf_full` (since r4, hash-green) and `semantic_dedup`
+    (r5): accepted because the hazard is measure-zero on continuous
+    cosines (a pair must land within ~1 ulp of a 4-dp boundary; none
+    exists in the driver corpora, and the expr-twin oracles carry the
+    same-class F.round-vs-DuckDB boundary hazard anyway). If a driver
+    corpus ever manufactures exact boundary cosines, round via the
+    decimal string here first."""
     in_schema = dict(zip(pairs.schema.names, pairs.schema.fields))
     out_schema = StructType(
         [in_schema[c] for c in keep] + [StructField(out, DoubleType())]
@@ -211,6 +215,64 @@ def cosine_pairs_arrow(pairs: DataFrame, keep: tuple[str, str] = ("src", "dst"),
 #: (skew.py rationale: AQE splits partitions, never a single join key).
 ANN_HOT_BUCKET_THRESH = 1024
 ANN_N_SALT = 8
+
+
+def salted_self_join(a: DataFrame, b: DataFrame, key: str,
+                     hot_thresh: int, n_salt: int,
+                     bucket_cap: int = 0) -> DataFrame:
+    """One-join salted self-join on ``key`` for (src, dst) pair
+    generation — the shared skew machinery of `lsh_pairs` (sign
+    buckets) and `semantic_dedup` (IVF cells). Groups larger than
+    ``hot_thresh`` are split: the probe side keeps its deterministic
+    block ``pmod(xxhash64(src), n_salt)``, the build side is replicated
+    across all blocks, so every src < dst pair meets EXACTLY once (at
+    block == salt(src)) and no pair-distinct is needed; cold groups get
+    a constant block 0 and behave exactly like the plain equi-join.
+    ``bucket_cap`` > 0 additionally DROPS groups beyond the cap (the
+    recall-trading monster-group guard). hot_thresh <= 0 and
+    bucket_cap <= 0 → plain equi-join. One join, no cold/hot branch
+    union — a branchy anti/semi + union formulation re-scans the
+    upstream kernel per branch (measured +0.5 s on the 5k bench).
+    ``a`` must carry columns (key, src, …), ``b`` (key, dst, …); the
+    per-group counts come from ``a`` (one row per element there)."""
+    if hot_thresh <= 0 and bucket_cap <= 0:
+        return a.join(b, key).filter(F.col("src") < F.col("dst"))
+    stats = a.groupBy(key).agg(F.count("*").alias("_n"))
+    flags = stats.select(
+        key,
+        (F.col("_n") > F.lit(hot_thresh)).alias("hot")
+        if hot_thresh > 0
+        else F.lit(False).alias("hot"),
+        (F.col("_n") > F.lit(bucket_cap)).alias("dead")
+        if bucket_cap > 0
+        else F.lit(False).alias("dead"),
+    )
+    a2 = (
+        a.join(F.broadcast(flags), key)
+        .filter(~F.col("dead"))
+        .withColumn(
+            "block",
+            F.when(
+                F.col("hot"), F.pmod(F.xxhash64("src"), F.lit(n_salt))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    b2 = (
+        b.join(F.broadcast(flags), key)
+        .filter(~F.col("dead"))
+        .withColumn(
+            "block",
+            F.explode(
+                F.when(
+                    F.col("hot"),
+                    F.sequence(
+                        F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long")
+                    ),
+                ).otherwise(F.array(F.lit(0).cast("long")))
+            ),
+        )
+    )
+    return a2.join(b2, [key, "block"]).filter(F.col("src") < F.col("dst"))
 
 
 def lsh_pairs(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int = 42,
@@ -267,57 +329,9 @@ def lsh_pairs(vecs: DataFrame, thresh: float, n_planes: int = 8, seed: int = 42,
         b = bucketed.select(
             "bucket", F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")
         )
-        if hot_thresh <= 0 and bucket_cap <= 0:
-            joined = a.join(b, "bucket").filter(F.col("src") < F.col("dst"))
-        else:
-            # ONE join, no cold/hot branch union: each side joins the
-            # broadcast per-bucket flag frame once; hot rows get the
-            # salted block (probe keeps its own, build side explodes
-            # all), cold rows a constant block 0 — so cold buckets
-            # behave exactly like the plain equi-join and every pair
-            # still meets exactly once. A branchy anti/semi + union
-            # formulation cost 2 extra scans of the GEMM kernel
-            # (measured +0.5 s on the 5k-doc bench).
-            stats = bucketed.groupBy("bucket").agg(
-                F.count("*").alias("bucket_size")
-            )
-            flags = stats.select(
-                "bucket",
-                (F.col("bucket_size") > F.lit(hot_thresh)).alias("hot")
-                if hot_thresh > 0
-                else F.lit(False).alias("hot"),
-                (F.col("bucket_size") > F.lit(bucket_cap)).alias("dead")
-                if bucket_cap > 0
-                else F.lit(False).alias("dead"),
-            )
-            a2 = (
-                a.join(F.broadcast(flags), "bucket")
-                .filter(~F.col("dead"))
-                .withColumn(
-                    "block",
-                    F.when(
-                        F.col("hot"), F.pmod(F.xxhash64("src"), F.lit(n_salt))
-                    ).otherwise(F.lit(0).cast("long")),
-                )
-            )
-            b2 = (
-                b.join(F.broadcast(flags), "bucket")
-                .filter(~F.col("dead"))
-                .withColumn(
-                    "block",
-                    F.explode(
-                        F.when(
-                            F.col("hot"),
-                            F.sequence(
-                                F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long")
-                            ),
-                        ).otherwise(F.array(F.lit(0).cast("long")))
-                    ),
-                )
-            )
-            joined = a2.join(b2, ["bucket", "block"]).filter(
-                F.col("src") < F.col("dst")
-            )
+        joined = salted_self_join(
+            a, b, "bucket", hot_thresh, n_salt, bucket_cap=bucket_cap
+        )
         return cosine_pairs_arrow(joined.select("src", "dst", "va", "vb")).filter(
             F.col("cos") >= thresh
         )
@@ -563,35 +577,7 @@ def semantic_dedup(vecs: DataFrame, thresh: float, n_cells: int = 1024,
     b = cells.select(
         "cell", F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")
     )
-    if hot_thresh <= 0:
-        joined = a.join(b, "cell").filter(F.col("src") < F.col("dst"))
-    else:
-        # one-join salt plan (lsh_pairs rationale: a branchy anti/semi +
-        # union formulation re-runs the assignment GEMM per branch).
-        flags = (
-            cells.groupBy("cell")
-            .agg((F.count("*") > F.lit(hot_thresh)).alias("hot"))
-        )
-        a2 = a.join(F.broadcast(flags), "cell").withColumn(
-            "block",
-            F.when(
-                F.col("hot"), F.pmod(F.xxhash64("src"), F.lit(n_salt))
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        b2 = b.join(F.broadcast(flags), "cell").withColumn(
-            "block",
-            F.explode(
-                F.when(
-                    F.col("hot"),
-                    F.sequence(
-                        F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long")
-                    ),
-                ).otherwise(F.array(F.lit(0).cast("long")))
-            ),
-        )
-        joined = a2.join(b2, ["cell", "block"]).filter(
-            F.col("src") < F.col("dst")
-        )
+    joined = salted_self_join(a, b, "cell", hot_thresh, n_salt)
     dup_pairs = cosine_pairs_arrow(
         joined.select("src", "dst", "va", "vb")
     ).filter(F.col("cos") >= thresh)

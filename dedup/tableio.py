@@ -152,11 +152,17 @@ class TableIO:
         file set); time travel to older snapshots still works — a plain
         parquet read of a bucketed dir is always correct, just not
         exchange-free."""
+        # layout-validity checks are BACKEND-INDEPENDENT — code written
+        # against the parquet fallback must hit the same guards when
+        # the iceberg jar is present
+        if bucket_by:
+            if mode != "overwrite":
+                raise ValueError("bucketed commits are overwrite-only")
+            if partition_by:
+                raise ValueError("bucket_by and partition_by are exclusive")
         if self.backend == "iceberg":
-            from pyspark.sql import functions as F
-
             w = df.writeTo(table)
-            if bucket_by and mode != "append":
+            if bucket_by:
                 w = w.partitionedBy(
                     F.bucket(n_buckets, bucket_by[0]),
                     *[F.col(c) for c in bucket_by[1:]],
@@ -166,16 +172,21 @@ class TableIO:
             (w.append() if mode == "append" else w.createOrReplace())
             return -1  # iceberg assigns its own ids; not used locally
         if bucket_by:
-            if mode != "overwrite":
-                raise ValueError("bucketed commits are overwrite-only")
-            if partition_by:
-                raise ValueError("bucket_by and partition_by are exclusive")
             return self._write_bucketed_snapshot(
                 df, table, bucket_by, n_buckets, sort_within
             )
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         prev = self.latest(table)
+        if mode == "append" and prev and prev.get("bucket_by"):
+            # a plain append would union unbucketed files into a
+            # bucketed snapshot, silently dropping the layout (and the
+            # zero-Exchange join physics) on read — fail loudly instead
+            raise ValueError(
+                f"table {table!r} latest snapshot is bucketed by "
+                f"{prev['bucket_by']}; appends would drop the bucket "
+                "layout — overwrite with the same bucket_by instead"
+            )
         if mode == "append" and prev and prev.get("partition_by", []) != list(
             partition_by or []
         ):
@@ -263,19 +274,14 @@ class TableIO:
         — otherwise accretes one file set per microbatch and every
         corpus-linear probe pays the per-file open/footer cost; at real
         scale this runs as a background maintenance job per table."""
-        df = self.read(table)
         prev = self.latest(table)
         if (prev or {}).get("bucket_by"):
-            # a bucketed snapshot is already one file per bucket — keep
-            # the join layout (target_files would destroy it)
-            return self.write(
-                df,
-                table,
-                mode="overwrite",
-                sort_within=sort_within or prev.get("sort_by") or None,
-                bucket_by=prev["bucket_by"],
-                n_buckets=prev["n_buckets"],
-            )
+            # a bucketed snapshot is ALREADY one file per bucket (the
+            # commit repartitions on the bucket key) — rewriting it
+            # would shuffle the whole table to a byte-equivalent layout.
+            # No-op: return the current snapshot id.
+            return prev["snapshot_id"]
+        df = self.read(table)
         out = df.repartition(target_files)
         return self.write(
             out,

@@ -358,3 +358,26 @@ def test_staged_run_bucketed_resume(spark, tiny_pages_df, tmp_path):
         assert joined.count() == len(ref)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_table_append_rejected_and_compact_noop(spark, tio):
+    """A plain append onto a bucketed snapshot would silently drop the
+    bucket layout on read (code-review finding) — it must raise; and
+    compact() on a bucketed table is a no-op (the commit already wrote
+    one file per bucket), returning the current snapshot id."""
+    import pytest as _pytest
+
+    df = spark.range(100).selectExpr("id as doc_id", "id % 7 as v")
+    s0 = tio.write(df, "bt", mode="overwrite", bucket_by=["doc_id"], n_buckets=4)
+    with _pytest.raises(ValueError, match="bucketed"):
+        tio.write(df, "bt", mode="append")
+    with _pytest.raises(ValueError, match="overwrite-only"):
+        tio.write(df, "bt", mode="append", bucket_by=["doc_id"], n_buckets=4)
+    with _pytest.raises(ValueError, match="exclusive"):
+        tio.write(
+            df, "bt2", mode="overwrite", bucket_by=["doc_id"], n_buckets=4,
+            partition_by=["v"],
+        )
+    assert tio.compact("bt", target_files=64) == s0
+    assert tio.latest("bt")["snapshot_id"] == s0  # no new snapshot
+    assert tio.read("bt").count() == 100
