@@ -979,6 +979,56 @@ def q_ann_ivf_full(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+_PQ_CODES_SQL = """
+WITH lim AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+              embedding AS cv FROM lim),
+asg AS (
+  SELECT e.vec_id, t.s AS subspace, c.code,
+         row_number() OVER (PARTITION BY e.vec_id, t.s ORDER BY
+           list_distance(e.embedding[t.s*8+1 : t.s*8+8]::DOUBLE[],
+                         c.cv[t.s*8+1 : t.s*8+8]::DOUBLE[]) ASC,
+           c.code ASC) AS rn
+  FROM embeddings e
+  CROSS JOIN generate_series(0, 7) t(s)
+  CROSS JOIN cb c)
+SELECT vec_id, subspace::BIGINT AS subspace, code::BIGINT AS code
+FROM asg WHERE rn = 1
+"""
+
+
+@register("pq_codes", _PQ_CODES_SQL)
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization code assignment (m=8 subspaces, 16 codes,
+    min-id codebook so the oracle replicates the pick): full (x−c)²
+    argmin per subspace, first-index ties — long form
+    (vec_id, subspace, code). Margins measured: min relative top-2
+    distance gap ~1e-5 on the driver corpus, far above cross-engine
+    summation noise."""
+    from dedup.simsearch import pq_codebook, with_pq_codes
+
+    v = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook(v, 16)
+    return (
+        with_pq_codes(v, cb, m=8)
+        .select("vec_id", F.posexplode("codes").alias("subspace", "code"))
+        .select(
+            "vec_id", F.col("subspace").cast("long").alias("subspace"), "code"
+        )
+    )
+
+
+@register("pq_topk")  # rows-only: ADC is approximate by construction
+def q_pq_topk(spark, sf_dir):
+    """PQ/ADC top-5 for the first 10 vectors: compressed-domain scan
+    (m-byte codes), per-task distance tables, per-batch partial top-k,
+    window merge. Recall vs exact is pinned in tests/test_simsearch.py."""
+    from dedup.simsearch import pq_topk
+
+    v = load(spark, sf_dir, "embeddings")
+    return pq_topk(v, v.filter(F.col("vec_id") < 10), k=5)
+
+
 def _pair_cos_sql(x: str, y: str) -> str:
     return (
         f"list_dot_product({x}.embedding::DOUBLE[], {y}.embedding::DOUBLE[])"
@@ -2243,7 +2293,7 @@ def q_grouping_sets_report(spark, sf_dir):
 #: tests/test_driver_rotation.py against the CORRECTNESS_r*.json files.
 _PRIORITY = [
     # -- round-5 additions (no driver record yet) -------------------------
-    "semantic_dedup", "sessionize", "event_funnel",
+    "semantic_dedup", "sessionize", "event_funnel", "pq_codes", "pq_topk",
     # -- newest green record is r2 (25 keys, §2 D→J order) ----------------
     "asof_latest", "interval_overlap",
     "est_jaccard", "exact_jaccard", "lcs_ratio", "hamming_simhash",

@@ -615,3 +615,154 @@ def semantic_dedup(vecs: DataFrame, thresh: float, n_cells: int = 1024,
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(vecs: DataFrame, n_codes: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding", order: str = "id") -> np.ndarray:
+    """Deterministic PQ codebook: the ``n_codes`` smallest-id (or
+    hash-sampled) vectors, RAW (no normalization — PQ quantizes
+    subvector geometry, not direction). Each subspace's codebook is the
+    corresponding slice of these rows — at real scale you would k-means
+    per subspace offline and ship the matrix exactly like this
+    (tiny: n_codes × dim doubles). Bounded collect: n_codes rows."""
+    key = (
+        [F.col(id_col).asc()]
+        if order == "id"
+        else [F.xxhash64(id_col), F.col(id_col)]
+    )
+    rows = vecs.select(id_col, vec_col).orderBy(*key).limit(n_codes).collect()
+    return np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def with_pq_codes(vecs: DataFrame, codebook: np.ndarray, m: int = 8,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Attach the length-``m`` PQ code vector: the embedding is split
+    into m equal subspaces; each subvector is assigned its nearest
+    (squared-L2, full (x−c)² form so an external engine's
+    list_distance argmin binds; first-index tie rule) codebook entry.
+    One vectorized distance block per Arrow batch — n×k×(d/m)
+    elementwise ops, no pairwise expansion leaves the kernel. Codes
+    compress d×8 bytes to m bytes per vector: the 100 TB embedding
+    corpus becomes DRAM-resident for the ADC scan."""
+    cb = codebook
+    out_schema = StructType(
+        list(vecs.schema) + [StructField("codes", ArrayType(LongType()))]
+    )
+
+    def gen(batches):
+        for rb in batches:
+            mat = _batch_matrix(rb.column(vec_col))
+            if mat.shape[0] == 0:
+                continue
+            d = mat.shape[1]
+            if d % m:
+                raise ValueError(f"dim {d} not divisible by m={m}")
+            sub = d // m
+            codes = np.empty((mat.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                x = mat[:, s * sub:(s + 1) * sub]
+                c = cb[:, s * sub:(s + 1) * sub]
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (codes.shape[0] + 1) * m, m, dtype=np.int32)
+                ),
+                pa.array(codes.reshape(-1)),
+            )
+            yield rb.append_column(pa.field("codes", pa.list_(pa.int64())), arr)
+
+    return vecs.mapInArrow(gen, out_schema)
+
+
+def pq_topk(vecs: DataFrame, queries: DataFrame, k: int, m: int = 8,
+            n_codes: int = 16, codebook: np.ndarray | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ/ADC approximate top-k by L2: corpus vectors are scanned in
+    CODE space only — each task builds the per-query m×n_codes distance
+    table once (asymmetric distance: exact query subvector vs centroid)
+    and scores candidates by m table lookups, emitting only its
+    per-batch top-k per query; a final per-query window merges the
+    partials. The scan ships m-byte codes, never embeddings — the
+    compressed-domain 100 TB shape. Approximate by construction
+    (quantization error), so rows-only: recall vs the exact oracle is
+    pinned by test. Ties break on (adist, n_id); adist is rounded to
+    6 dp to keep the tie order engine-stable."""
+    from pyspark.sql import Window
+
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(vecs, n_codes, id_col, vec_col)
+    )
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    codes = with_pq_codes(vecs, cb, m=m, vec_col=vec_col).select(
+        id_col, "codes"
+    )
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("n_id", LongType()),
+            StructField("adist", DoubleType()),
+        ]
+    )
+    d = cb.shape[1]
+    sub = d // m
+
+    def gen(batches):
+        # per-task ADC tables: (n_queries, m, n_codes)
+        tables = np.empty((q_mat.shape[0], m, cb.shape[0]))
+        for s in range(m):
+            qx = q_mat[:, s * sub:(s + 1) * sub]
+            c = cb[:, s * sub:(s + 1) * sub]
+            tables[:, s, :] = ((qx[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            col = rb.column("codes")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            code_mat = (
+                col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+            )
+            nid = rb.column(id_col).to_numpy(zero_copy_only=False)
+            # adist[q, row] = Σ_s tables[q, s, code_mat[row, s]]
+            adist = np.zeros((q_mat.shape[0], n))
+            for s in range(m):
+                adist += tables[:, s, code_mat[:, s]]
+            top = min(k, n)
+            part = np.argpartition(adist, top - 1, axis=1)[:, :top]
+            qq = np.repeat(q_ids, top)
+            nn = nid[part.reshape(-1)]
+            dd = np.take_along_axis(adist, part, axis=1).reshape(-1)
+            keep = qq != nn
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qq[keep], pa.int64()),
+                    pa.array(nn[keep], pa.int64()),
+                    pa.array(np.round(dd[keep], 6), pa.float64()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("q_id", pa.int64()),
+                        pa.field("n_id", pa.int64()),
+                        pa.field("adist", pa.float64()),
+                    ]
+                ),
+            )
+
+    partials = codes.mapInArrow(gen, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )

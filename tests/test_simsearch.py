@@ -363,3 +363,76 @@ def test_semantic_dedup_far_from_centroid_vs_python(spark, vecs):
     # which can drop MORE than one-per-component (chains) — so the
     # paper rule keeps at least as many rows
     assert sum(k for _, _, k in got) >= n_kept_minid
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_match_python_reference(spark, vecs):
+    """with_pq_codes vs an independent numpy argmin reference (full
+    (x−c)² distances, first-index ties), min-id codebook."""
+    import numpy as np
+
+    from dedup.simsearch import pq_codebook, with_pq_codes
+
+    cb = pq_codebook(vecs, 16)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in with_pq_codes(vecs, cb, m=8).collect()
+    }
+    rows = sorted(vecs.collect(), key=lambda r: r.vec_id)
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    sub = mat.shape[1] // 8
+    for s in range(8):
+        d2 = (
+            (mat[:, None, s * sub:(s + 1) * sub]
+             - cb[None, :, s * sub:(s + 1) * sub]) ** 2
+        ).sum(-1)
+        want = np.argmin(d2, axis=1)
+        for k, r in enumerate(rows):
+            assert got[r.vec_id][s] == want[k], (r.vec_id, s)
+
+
+def test_pq_topk_planted_twin_recall(spark, vecs):
+    """PQ/ADC retrieval quality in the regime it exists for: 32 planted
+    near-twins at cos ∈ [0.93, 0.99] with the ORIGINAL magnitude
+    preserved (PQ quantizes raw geometry). Each planted query must
+    retrieve its twin in ADC top-5 ≥ 90% of the time (numpy prototype
+    measured 1.0 on this seed); ranks are deterministic (adist rounded
+    6 dp, n_id tiebreak)."""
+    import numpy as np
+
+    from dedup.simsearch import pq_topk
+
+    base = vecs.orderBy("vec_id").limit(32).collect()
+    rng = np.random.default_rng(13)
+    rows = []
+    for i, r in enumerate(base):
+        v = np.asarray(r.embedding, dtype=np.float64)
+        mag = np.linalg.norm(v)
+        v = v / mag
+        t = float(rng.uniform(0.93, 0.99))
+        g = rng.standard_normal(v.size)
+        g -= g.dot(v) * v
+        g /= np.linalg.norm(g)
+        w = (t * v + np.sqrt(1 - t * t) * g) * mag
+        rows.append((int(30_000_000 + i), [float(x) for x in w]))
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = vecs.selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    ).unionByName(planted)
+
+    out = pq_topk(corpus, planted, k=5).collect()
+    twin_of = {30_000_000 + i: r.vec_id for i, r in enumerate(base)}
+    got = {}
+    for r in out:
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    hits = sum(1 for q, ns in got.items() if twin_of[q] in ns)
+    assert hits / 32 >= 0.9, f"twin recall {hits}/32"
+    # ranks are 1..5 per query, unique
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in out)
+    assert all(v == 5 for v in per_q.values())
