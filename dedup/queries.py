@@ -1029,6 +1029,44 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(v, v.filter(F.col("vec_id") < 10), k=5)
 
 
+_CELL_PURITY_SQL = """
+WITH lim AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                embedding AS cv FROM lim),
+asg AS (
+  SELECT e.vec_id, e.label, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) DESC,
+           c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT label, cell FROM asg WHERE rn = 1),
+c AS (SELECT cell, label, count(*)::BIGINT AS n FROM cells GROUP BY 1, 2),
+t AS (SELECT cell, label AS top_label, n AS top_count,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY n DESC, label ASC) AS rn FROM c),
+s AS (SELECT cell, sum(n)::BIGINT AS n_vecs, count(*)::BIGINT AS n_labels
+      FROM c GROUP BY cell)
+SELECT s.cell::BIGINT AS cell, s.n_vecs, s.n_labels,
+       t.top_label::BIGINT AS top_label, t.top_count
+FROM s JOIN t ON s.cell = t.cell AND t.rn = 1
+"""
+
+
+@register("cell_label_purity", _CELL_PURITY_SQL)
+def q_cell_label_purity(spark, sf_dir):
+    """Quantizer-quality evaluation over the labeled driver embeddings:
+    per IVF cell (same min-id centroids + argmax assignment as
+    semantic_dedup) — member count, distinct labels, majority label +
+    count, all exact integers so the oracle binds."""
+    from dedup.simsearch import cell_label_stats, ivf_centroids
+
+    v = load(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(v, 8, order="id")
+    return cell_label_stats(v, cent)
+
+
 def _pair_cos_sql(x: str, y: str) -> str:
     return (
         f"list_dot_product({x}.embedding::DOUBLE[], {y}.embedding::DOUBLE[])"
@@ -2152,6 +2190,22 @@ def q_stream_windows(spark, sf_dir):
     return spark.table(name)
 
 
+@register("stream_sessions")  # rows-only (J3 session-window variant)
+def q_stream_sessions(spark, sf_dir):
+    """Structured-Streaming session windows (`F.session_window`):
+    per-lang capture bursts separated by ≥ 30 min, watermarked —
+    complete mode for the same availableNow reason as stream_windows."""
+    from dedup.streaming import read_page_stream, session_rate
+
+    staging = _staged_pages(spark, sf_dir)
+    name = _run_stream(
+        session_rate(read_page_stream(spark, staging), gap="30 minutes"),
+        "q_stream_sessions",
+        mode="complete",
+    )
+    return spark.table(name)
+
+
 @register("foreach_batch_dedup")  # rows-only (J4: incremental ≡ batch, tested)
 def q_foreach_batch_dedup(spark, sf_dir):
     import tempfile
@@ -2294,6 +2348,7 @@ def q_grouping_sets_report(spark, sf_dir):
 _PRIORITY = [
     # -- round-5 additions (no driver record yet) -------------------------
     "semantic_dedup", "sessionize", "event_funnel", "pq_codes", "pq_topk",
+    "cell_label_purity", "stream_sessions",
     # -- newest green record is r2 (25 keys, §2 D→J order) ----------------
     "asof_latest", "interval_overlap",
     "est_jaccard", "exact_jaccard", "lcs_ratio", "hamming_simhash",

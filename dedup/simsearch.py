@@ -766,3 +766,45 @@ def pq_topk(vecs: DataFrame, queries: DataFrame, k: int, m: int = 8,
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "adist", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def cell_label_stats(vecs: DataFrame, centroids: np.ndarray,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Quantizer-quality report (the evaluation loop for IVF/SemDeDup
+    cell counts): per cell — member count, distinct labels, and the
+    majority label with its count, ALL exact integers (purity =
+    top_count/n_vecs is left to the consumer so no float crosses an
+    engine boundary). Ties on the majority break (count desc, label
+    asc) — total order.
+
+    Scale shape: cell assignment is the no-shuffle GEMM; one
+    (cell, label)-keyed hash aggregate with map-side combine over slim
+    rows; the majority pick is a window over per-cell label counts —
+    bounded by the label cardinality, not the corpus."""
+    from pyspark.sql import Window
+
+    cells = with_ivf_cell(
+        vecs.select(id_col, vec_col, label_col), centroids, n_probe=1,
+        vec_col=vec_col,
+    ).select(F.col(label_col).alias("label"), F.col("cells")[0].alias("cell"))
+    counts = cells.groupBy("cell", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    sizes = counts.groupBy("cell").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("n_labels"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cell",
+            F.col("label").cast("long").alias("top_label"),
+            F.col("n").alias("top_count"),
+        )
+    )
+    return sizes.join(top, "cell").select(
+        "cell", "n_vecs", "n_labels", "top_label", "top_count"
+    )
